@@ -1,0 +1,463 @@
+"""Local step — energy-guided seed growing, re-architected for TPU.
+
+The reference (``local_faldoi.cpp:891-1039``) grows flow from sparse seeds
+with a serial priority queue: pop the lowest-energy candidate, fix it, run an
+11x11 patch primal-dual solve, push its 4-neighbours.  That ordering
+heuristic is inherently sequential (~450k pops, each a scalar patch solve).
+
+TPU re-design: **batched best-first wavefront sweeps**.  Per sweep we pop the
+``B`` lowest-energy candidates at once (a ``top_k`` over the candidate
+field), fix them, solve all their patches in one fused, vmapped batch, and
+scatter the results (min-energy wins for candidate updates, max-energy wins
+for working-flow overlaps, matching the pop order's later-overwrites
+behaviour).  ``B`` interpolates between the exact serial order (B=1) and a
+fully parallel flood (B=inf); the FB-consistency pruning plus the 3 outer
+iterations make the result robust to this reordering (validated against the
+reference binary's output on the golden examples).
+
+The whole growing runs as ONE device program: a ``lax.while_loop`` over
+sweeps (every sweep is shape-static; patch crops are ``dynamic_slice``s from
+edge-padded planes, scatters go through a dump slot).
+
+State layout: flat (h*w+1,) arrays — the extra slot is a scatter dump for
+masked lanes.
+
+Reference-semantics notes:
+* seed insertion (``insert_initial_seeds``, :748-796) runs 3x3 solves
+  (w_radio forced to 1) around each seed with *only that seed* fixed, pushes
+  4-neighbour candidates, then re-fixes seeds with their original flow and
+  energy 0 — we batch all seeds at once; patches see only their own centre
+  as data because the fill initialises from the centre alone.
+* ``add_neighbors`` (:679-727) re-initialises the patch by Poisson fill from
+  fixed pixels on iteration 0, and on later iterations only when the patch
+  contains pruned pixels; otherwise the persistent working flow is the init.
+* the candidate energy stored/compared is the patch-mean energy x saliency
+  (``insert_candidates``, :497-537; saliency defaults to 1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faldoi_tpu.ops.poisson import poisson_fill_canvas
+from faldoi_tpu.core.patch_solver import _solve_one, crop_padded, pad_for_crops
+from faldoi_tpu.ops.stencils import _rowcol_ids
+
+
+class GrowState(NamedTuple):
+    fixed: jnp.ndarray   # (N+1,) bool
+    out_u: jnp.ndarray   # (N+1,)
+    out_v: jnp.ndarray
+    ene: jnp.ndarray     # (N+1,) best energy at fixed pixels
+    cand_u: jnp.ndarray  # (N+1,) best queued candidate
+    cand_v: jnp.ndarray
+    cand_e: jnp.ndarray  # inf = no candidate
+    wu: jnp.ndarray      # (N+1,) persistent working flow (ofD->u1/u2)
+    wv: jnp.ndarray
+
+
+def init_state(h: int, w: int) -> GrowState:
+    n = h * w + 1
+    z = jnp.zeros((n,), jnp.float32)
+    return GrowState(
+        fixed=jnp.zeros((n,), bool),
+        out_u=jnp.full((n,), jnp.nan, jnp.float32),
+        out_v=jnp.full((n,), jnp.nan, jnp.float32),
+        ene=jnp.full((n,), jnp.inf, jnp.float32),
+        cand_u=z,
+        cand_v=z,
+        cand_e=jnp.full((n,), jnp.inf, jnp.float32),
+        wu=jnp.full((n,), jnp.nan, jnp.float32),
+        wv=jnp.full((n,), jnp.nan, jnp.float32),
+    )
+
+
+def _patch_geometry(idx, h, w, wr):
+    """get_index_patch (utils.cpp:36-54) for flat indices."""
+    i = idx % w
+    j = idx // w
+    oy = jnp.maximum(j - wr, 0)
+    ox = jnp.maximum(i - wr, 0)
+    ph = jnp.minimum(j + 1 + wr, h) - oy
+    pw = jnp.minimum(i + 1 + wr, w) - ox
+    return i, j, oy, ox, ph, pw
+
+
+def _scatter_min_payload(tgt_e, tgt_u, tgt_v, q, e, u, v, ok, dump):
+    """Scatter (e,u,v) to positions q where ok, keeping per-slot minimum e.
+    Ties may write either payload (payloads of equal energy are equivalent)."""
+    qs = jnp.where(ok, q, dump)
+    e_masked = jnp.where(ok, e, jnp.inf)
+    tgt_e = tgt_e.at[qs].min(e_masked)
+    winner = ok & (e_masked <= tgt_e[qs])
+    qw = jnp.where(winner, q, dump)
+    tgt_u = tgt_u.at[qw].set(u)
+    tgt_v = tgt_v.at[qw].set(v)
+    return tgt_e, tgt_u, tgt_v
+
+
+def _scatter_max_payload(key_buf, tgt_u, tgt_v, q, key, u, v, ok, dump):
+    """Scatter (u,v) to q where ok, keeping payload of the maximum key."""
+    qs = jnp.where(ok, q, dump)
+    k_masked = jnp.where(ok, key, -jnp.inf)
+    key_buf = key_buf.at[qs].max(k_masked)
+    winner = ok & (k_masked >= key_buf[qs])
+    qw = jnp.where(winner, q, dump)
+    tgt_u = tgt_u.at[qw].set(u)
+    tgt_v = tgt_v.at[qw].set(v)
+    return tgt_u, tgt_v
+
+
+def _sweep_body(
+    state: GrowState,
+    i0pad, i1n, i1x, i1y, trust2d_pad, sal, iteration,
+    h, w, wr, bsz, lambda_, theta, tau, tol, warps, max_iters,
+    delta=jnp.inf,
+):
+    """One wavefront sweep. Returns (state, n_accepted).
+
+    ``delta`` is the Delta-stepping band: only candidates within ``delta`` of
+    the sweep's minimum energy are accepted (plus the top-bsz cut).  A tight
+    band tracks the reference's strict priority order more closely at the
+    cost of more sweeps; inf = pure top-k batching.
+    """
+    n = h * w
+    dump = n
+    p = 2 * wr + 1
+
+    eligible = jnp.where(state.fixed[:n], jnp.inf, state.cand_e[:n])
+    neg_e, idx = jax.lax.top_k(-eligible, bsz)
+    valid = jnp.isfinite(neg_e)
+    e_min = -neg_e[0]
+    valid = valid & (-neg_e <= e_min + delta)
+    idx_s = jnp.where(valid, idx, dump)
+    n_acc = valid.sum()
+
+    i, j, oy, ox, ph, pw = _patch_geometry(idx, h, w, wr)
+
+    # --- fix accepted candidates (local_growing pop, :899-937)
+    pop_u = state.cand_u[idx]
+    pop_v = state.cand_v[idx]
+    pop_e = state.cand_e[idx]
+    fixed = state.fixed.at[idx_s].set(True)
+    out_u = state.out_u.at[idx_s].set(pop_u)
+    out_v = state.out_v.at[idx_s].set(pop_v)
+    ene = state.ene.at[idx_s].set(pop_e)
+    cand_e = state.cand_e.at[idx_s].set(jnp.inf)
+
+    fx_pad = pad_for_crops(fixed[:n].reshape(h, w), p)
+    ou_pad = pad_for_crops(out_u[:n].reshape(h, w), p)
+    ov_pad = pad_for_crops(out_v[:n].reshape(h, w), p)
+    wu_pad = pad_for_crops(state.wu[:n].reshape(h, w), p)
+    wv_pad = pad_for_crops(state.wv[:n].reshape(h, w), p)
+
+    rows, cols = _rowcol_ids((p, p))
+
+    # --- per-patch init (add_neighbors :688-705)
+    def build_init(oy_k, ox_k, ph_k, pw_k):
+        inbox = (rows < ph_k) & (cols < pw_k)
+        fxp = crop_padded(fx_pad, oy_k, ox_k, p) & inbox
+        ou = crop_padded(ou_pad, oy_k, ox_k, p)
+        ov = crop_padded(ov_pad, oy_k, ox_k, p)
+        wu_p = crop_padded(wu_pad, oy_k, ox_k, p)
+        wv_p = crop_padded(wv_pad, oy_k, ox_k, p)
+        tr = crop_padded(trust2d_pad, oy_k, ox_k, p)
+
+        fill_u = poisson_fill_canvas(jnp.where(fxp, ou, jnp.nan), ph_k, pw_k)
+        fill_v = poisson_fill_canvas(jnp.where(fxp, ov, jnp.nan), ph_k, pw_k)
+        alt_u = jnp.where(fxp, ou, wu_p)
+        alt_v = jnp.where(fxp, ov, wv_p)
+        bad_alt = jnp.any(inbox & ~(jnp.isfinite(alt_u) & jnp.isfinite(alt_v)))
+        untrusted = jnp.any(inbox & (tr == 0))
+        use_fill = (iteration == 0) | untrusted | bad_alt
+        u0 = jnp.where(use_fill, fill_u, alt_u)
+        v0 = jnp.where(use_fill, fill_v, alt_v)
+        return jnp.where(inbox, u0, 0.0), jnp.where(inbox, v0, 0.0)
+
+    u_init, v_init = jax.vmap(build_init)(oy, ox, ph, pw)
+
+    # --- batched patch PD solve (of_estimation -> guided_tvl2coupled)
+    def solve(oy_k, ox_k, ph_k, pw_k, u0, v0):
+        i0_patch = crop_padded(i0pad, oy_k, ox_k, p)
+        return _solve_one(
+            i1n, i1x, i1y, i0_patch, oy_k, ox_k, ph_k, pw_k, u0, v0,
+            lambda_, theta, tau, tol, warps, max_iters, p,
+        )
+
+    su, sv, ener = jax.vmap(solve)(oy, ox, ph, pw, u_init, v_init)
+
+    cy = j - oy
+    cx = i - ox
+    bidx = jnp.arange(bsz)
+
+    # --- 4-neighbour propagation (insert_candidates :497-537)
+    # Two targets: unfixed neighbours get queue candidates; neighbours that
+    # were accepted THIS sweep get "donations" — in the serial reference, a
+    # lower-energy pop p would have improved q's queue entry before q popped;
+    # the donation scatter-min reproduces that intra-batch information flow
+    # (the key fidelity mechanism that makes large sweeps track the strict
+    # priority order).
+    prev_fixed = state.fixed
+    cand_u, cand_v = state.cand_u, state.cand_v
+    for (dx, dy) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        qi = i + dx
+        qj = j + dy
+        inb = (qi >= 0) & (qi < w) & (qj >= 0) & (qj < h) & valid
+        q = jnp.where(inb, qj * w + qi, dump)
+        new_e = ener * sal[q]
+        nu = su[bidx, cy + dy, cx + dx]
+        nv = sv[bidx, cy + dy, cx + dx]
+        ok = inb & ~fixed[q] & (new_e < cand_e[q])
+        cand_e, cand_u, cand_v = _scatter_min_payload(
+            cand_e, cand_u, cand_v, q, new_e, nu, nv, ok, dump
+        )
+        accepted_now = fixed[q] & ~prev_fixed[q]
+        ok_don = inb & accepted_now & (new_e < ene[q])
+        ene, out_u, out_v = _scatter_min_payload(
+            ene, out_u, out_v, q, new_e, nu, nv, ok_don, dump
+        )
+
+    # --- centre update (add_neighbors :718-726), after donations so the
+    # comparison target matches the serial pop value
+    s_cu = su[bidx, cy, cx]
+    s_cv = sv[bidx, cy, cx]
+    better = valid & (ener < ene[idx_s])
+    upd = jnp.where(better, idx, dump)
+    out_u = out_u.at[upd].set(s_cu)
+    out_v = out_v.at[upd].set(s_cv)
+    ene = ene.at[upd].set(jnp.where(better, ener, jnp.inf))
+
+    # --- persistent working-flow scatter (max-energy wins == later-pop wins)
+    gy = oy[:, None, None] + rows[None]
+    gx = ox[:, None, None] + cols[None]
+    inbox = (rows[None] < ph[:, None, None]) & (cols[None] < pw[:, None, None])
+    cell_ok = inbox & valid[:, None, None]
+    flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
+    key = jnp.broadcast_to(ener[:, None, None], su.shape).reshape(-1)
+    key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
+    wu, wv = _scatter_max_payload(
+        key_buf, state.wu, state.wv, flat_q, key,
+        su.reshape(-1), sv.reshape(-1), cell_ok.reshape(-1), dump,
+    )
+
+    new_state = GrowState(fixed, out_u, out_v, ene, cand_u, cand_v, cand_e, wu, wv)
+    return new_state, n_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h", "w", "wr", "bsz", "lambda_", "theta", "tau", "tol", "warps",
+        "max_iters", "delta",
+    ),
+)
+def grow_to_completion(
+    state: GrowState,
+    i0n, i1n, i1x, i1y,
+    trust, sal, iteration,
+    h: int, w: int, wr: int, bsz: int,
+    lambda_: float, theta: float, tau: float, tol: float,
+    warps: int, max_iters: int, delta: float = float("inf"),
+):
+    """Run wavefront sweeps until the candidate queue drains — a single
+    device program (lax.while_loop over sweeps)."""
+    n = h * w
+    p = 2 * wr + 1
+    i0pad = pad_for_crops(i0n, p)
+    trust2d_pad = pad_for_crops(trust[:n].reshape(h, w), p)
+
+    def cond(carry):
+        _, n_acc, sweeps = carry
+        return n_acc > 0
+
+    def body(carry):
+        st, _, sweeps = carry
+        st, n_acc = _sweep_body(
+            st, i0pad, i1n, i1x, i1y, trust2d_pad, sal, iteration,
+            h, w, wr, bsz, lambda_, theta, tau, tol, warps, max_iters,
+            delta=delta,
+        )
+        return (st, n_acc, sweeps + 1)
+
+    carry = (state, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
+    state, _, sweeps = jax.lax.while_loop(cond, body, carry)
+    return state, sweeps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h", "w", "wr", "bsz", "lambda_", "theta", "tau", "tol", "warps",
+        "max_iters", "delta",
+    ),
+)
+def grow_step(
+    state: GrowState,
+    i0n, i1n, i1x, i1y,
+    trust, sal, iteration,
+    h: int, w: int, wr: int, bsz: int,
+    lambda_: float, theta: float, tau: float, tol: float,
+    warps: int, max_iters: int, delta: float = float("inf"),
+):
+    """One sweep per dispatch — fallback path for hosts where the fused
+    while_loop program is too large for the remote TPU compiler; also handy
+    for debugging sweep-by-sweep."""
+    n = h * w
+    p = 2 * wr + 1
+    i0pad = pad_for_crops(i0n, p)
+    trust2d_pad = pad_for_crops(trust[:n].reshape(h, w), p)
+    return _sweep_body(
+        state, i0pad, i1n, i1x, i1y, trust2d_pad, sal, iteration,
+        h, w, wr, bsz, lambda_, theta, tau, tol, warps, max_iters,
+        delta=delta,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "bsz", "lambda_", "theta", "tau", "tol",
+                     "warps", "max_iters"),
+)
+def seed_batch(
+    state: GrowState,
+    seed_idx,                     # (bsz,) flat indices (dump-padded)
+    seed_u, seed_v,               # (bsz,) seed flow
+    seed_valid,                   # (bsz,) bool
+    i0n, i1n, i1x, i1y,
+    sal,
+    h: int, w: int, bsz: int,
+    lambda_: float, theta: float, tau: float, tol: float,
+    warps: int, max_iters: int,
+):
+    """insert_initial_seeds (:748-796): 3x3 solves around each seed with only
+    the seed fixed; pushes 4-neighbour candidates; seeds themselves are fixed
+    afterwards by the caller."""
+    n = h * w
+    dump = n
+    wr = 1
+    p = 3
+    i0pad = pad_for_crops(i0n, p)
+    idx = seed_idx
+    i, j, oy, ox, ph, pw = _patch_geometry(idx, h, w, wr)
+    rows, cols = _rowcol_ids((p, p))
+
+    def build_init(oy_k, ox_k, ph_k, pw_k, j_k, i_k, u_k, v_k):
+        inbox = (rows < ph_k) & (cols < pw_k)
+        is_center = ((oy_k + rows) == j_k) & ((ox_k + cols) == i_k)
+        fu = poisson_fill_canvas(jnp.where(is_center, u_k, jnp.nan), ph_k, pw_k)
+        fv = poisson_fill_canvas(jnp.where(is_center, v_k, jnp.nan), ph_k, pw_k)
+        return jnp.where(inbox, fu, 0.0), jnp.where(inbox, fv, 0.0)
+
+    u_init, v_init = jax.vmap(build_init)(oy, ox, ph, pw, j, i, seed_u, seed_v)
+
+    def solve(oy_k, ox_k, ph_k, pw_k, u0, v0):
+        i0_patch = crop_padded(i0pad, oy_k, ox_k, p)
+        return _solve_one(
+            i1n, i1x, i1y, i0_patch, oy_k, ox_k, ph_k, pw_k, u0, v0,
+            lambda_, theta, tau, tol, warps, max_iters, p,
+        )
+
+    su, sv, ener = jax.vmap(solve)(oy, ox, ph, pw, u_init, v_init)
+
+    cy = j - oy
+    cx = i - ox
+    bidx = jnp.arange(bsz)
+    cand_u, cand_v, cand_e = state.cand_u, state.cand_v, state.cand_e
+    for (dx, dy) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        qi = i + dx
+        qj = j + dy
+        inb = (qi >= 0) & (qi < w) & (qj >= 0) & (qj < h) & seed_valid
+        q = jnp.where(inb, qj * w + qi, dump)
+        new_e = ener * sal[q]
+        ok = inb & (new_e < cand_e[q])
+        nu = su[bidx, cy + dy, cx + dx]
+        nv = sv[bidx, cy + dy, cx + dx]
+        cand_e, cand_u, cand_v = _scatter_min_payload(
+            cand_e, cand_u, cand_v, q, new_e, nu, nv, ok, dump
+        )
+
+    gy = oy[:, None, None] + rows[None]
+    gx = ox[:, None, None] + cols[None]
+    inbox = (rows[None] < ph[:, None, None]) & (cols[None] < pw[:, None, None])
+    cell_ok = inbox & seed_valid[:, None, None]
+    flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
+    key = jnp.broadcast_to(ener[:, None, None], su.shape).reshape(-1)
+    key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
+    wu, wv = _scatter_max_payload(
+        key_buf, state.wu, state.wv, flat_q, key,
+        su.reshape(-1), sv.reshape(-1), cell_ok.reshape(-1), dump,
+    )
+    return state._replace(cand_u=cand_u, cand_v=cand_v, cand_e=cand_e,
+                          wu=wu, wv=wv)
+
+
+class LocalSolver:
+    """Orchestrates the iterated local growing for one direction pair
+    (``match_growing_variational``, local_faldoi.cpp:1060-1741)."""
+
+    def __init__(self, h, w, wr=5, bsz=4096, lambda_=40.0, theta=0.3,
+                 tau=0.125, tol=0.01, warps=1, max_iters=4, seed_bsz=2048,
+                 fused=True, delta=float("inf")):
+        self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
+        self.seed_bsz = seed_bsz
+        self.fused = fused
+        self.delta = delta
+        self.kw = dict(lambda_=lambda_, theta=theta, tau=tau, tol=tol,
+                       warps=warps, max_iters=max_iters)
+
+    def insert_seeds(self, state: GrowState, seeds: np.ndarray,
+                     imgs, sal) -> GrowState:
+        """seeds: (h, w, 2) NaN-sparse field."""
+        h, w = self.h, self.w
+        n = h * w
+        su = np.asarray(seeds[:, :, 0]).ravel()
+        sv = np.asarray(seeds[:, :, 1]).ravel()
+        pos = np.nonzero(np.isfinite(su) & np.isfinite(sv))[0]
+        i0n, i1n, i1x, i1y = imgs
+        b = self.seed_bsz
+        for k0 in range(0, max(len(pos), 1), b):
+            chunk = pos[k0 : k0 + b]
+            pad = b - len(chunk)
+            idx = jnp.asarray(np.pad(chunk, (0, pad), constant_values=n))
+            cu = jnp.asarray(np.pad(su[chunk], (0, pad)))
+            cv = jnp.asarray(np.pad(sv[chunk], (0, pad)))
+            vmask = jnp.asarray(np.pad(np.ones(len(chunk), bool), (0, pad)))
+            state = seed_batch(
+                state, idx, cu, cv, vmask, i0n, i1n, i1x, i1y, sal,
+                h, w, b, **self.kw
+            )
+        # re-fix seeds with original flow and zero energy (:785-795)
+        idx = jnp.asarray(np.concatenate([pos, [n]]))
+        state = state._replace(
+            fixed=state.fixed.at[idx].set(True),
+            out_u=state.out_u.at[idx].set(jnp.asarray(np.append(su[pos], 0.0))),
+            out_v=state.out_v.at[idx].set(jnp.asarray(np.append(sv[pos], 0.0))),
+            ene=state.ene.at[idx].set(0.0),
+            cand_e=state.cand_e.at[idx].set(jnp.inf),
+        )
+        return state
+
+    def grow(self, state: GrowState, imgs, trust, sal, iteration,
+             max_sweeps=100000) -> GrowState:
+        """Run sweeps until the candidate queue is empty."""
+        i0n, i1n, i1x, i1y = imgs
+        it = jnp.asarray(iteration, jnp.int32)
+        if self.fused:
+            state, _sweeps = grow_to_completion(
+                state, i0n, i1n, i1x, i1y, trust, sal, it,
+                self.h, self.w, self.wr, self.bsz, delta=self.delta, **self.kw
+            )
+            return state
+        for _ in range(max_sweeps):
+            state, n_acc = grow_step(
+                state, i0n, i1n, i1x, i1y, trust, sal, it,
+                self.h, self.w, self.wr, self.bsz, delta=self.delta, **self.kw
+            )
+            if int(n_acc) == 0:
+                break
+        return state

@@ -60,6 +60,18 @@ def crop_canvas(img: jnp.ndarray, oy, ox, p: int):
     return img[rows, cols]
 
 
+def pad_for_crops(img: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Edge-pad bottom/right by p so crop_padded() can use dynamic_slice
+    (equivalent to the clamped gather for non-negative origins, but far
+    cheaper on TPU)."""
+    return jnp.pad(img, ((0, p), (0, p)), mode="edge")
+
+
+def crop_padded(img_pad: jnp.ndarray, oy, ox, p: int):
+    """dynamic_slice crop from a pad_for_crops()-prepared image."""
+    return jax.lax.dynamic_slice(img_pad, (oy, ox), (p, p))
+
+
 def _solve_one(
     i1_full,
     i1x_full,

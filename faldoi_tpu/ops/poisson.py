@@ -5,6 +5,9 @@ TPU re-design of ``src/elap_recsep.c`` (used by ``interpolate_poisson``,
 fills NaN holes by a few relaxation sweeps of the Laplace equation, with the
 coarse solution (2x zoom-out with NaN-discarding block averages) as init.
 
+Everything is expressed as static shifts + ``where`` masks (no gathers), so
+the whole pyramid vectorises cleanly on the VPU under ``vmap``.
+
 Differences from the reference, by design (documented for parity review):
 
 * the reference's ``perform_one_iteration`` is a raster-order Gauss-Seidel
@@ -12,6 +15,9 @@ Differences from the reference, by design (documented for parity review):
   we use red-black Gauss-Seidel (two half-sweeps), which converges
   comparably.  The fill only *initialises* the patch PD solve, which then
   runs its own iterations, so the end-to-end effect is below the EPE gate.
+* the reference's clamped-index block average (``zoom_out_by_factor_two``)
+  equals a NaN-discarding mean over the in-box cells (clamping duplicates
+  values uniformly), which is what we compute.
 * all levels live on static (P, P) canvases with a dynamic valid box
   (ph, pw) so the whole pyramid is shape-static under ``vmap``/``jit``.
 
@@ -22,7 +28,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,28 +40,42 @@ def _level_sizes(p: int, scale: int):
     return sizes
 
 
+def _shift(y, dr, dc):
+    """Static shift pulling the neighbour at (+dr, +dc) into each cell,
+    repeating the canvas edge (box clamping is applied by callers)."""
+    if dr == 1:
+        y = jnp.concatenate([y[1:, :], y[-1:, :]], axis=0)
+    elif dr == -1:
+        y = jnp.concatenate([y[:1, :], y[:-1, :]], axis=0)
+    if dc == 1:
+        y = jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1)
+    elif dc == -1:
+        y = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
+    return y
+
+
+def _neighbors_clamped(y, ph, pw, p):
+    """The four getpixel_1 neighbours with clamping at the valid box."""
+    rows = jnp.arange(p)[:, None]
+    cols = jnp.arange(p)[None, :]
+    right = jnp.where(cols + 1 < pw, _shift(y, 0, 1), y)
+    left = jnp.where(cols - 1 >= 0, _shift(y, 0, -1), y)
+    down = jnp.where(rows + 1 < ph, _shift(y, 1, 0), y)
+    up = jnp.where(rows - 1 >= 0, _shift(y, -1, 0), y)
+    return right, left, down, up
+
+
 def _relax(y, hole, ph, pw, timestep, niter, p):
     """Red-black Gauss-Seidel on the valid box; only hole pixels move."""
     rows = jnp.arange(p)[:, None]
     cols = jnp.arange(p)[None, :]
     inbox = (rows < ph) & (cols < pw)
-    red = ((rows + cols) % 2 == 0)
-
-    def clampget(y, dr, dc):
-        r = jnp.clip(rows + dr, 0, ph - 1)
-        c = jnp.clip(cols + dc, 0, pw - 1)
-        return y[r, c]
+    red = (rows + cols) % 2 == 0
 
     def halfsweep(y, color_mask):
-        lap = (
-            -4.0 * y
-            + clampget(y, 0, 1)
-            + clampget(y, 1, 0)
-            + clampget(y, 0, -1)
-            + clampget(y, -1, 0)
-        )
-        upd = y + timestep * lap
-        return jnp.where(hole & inbox & color_mask, upd, y)
+        r, l, d, u = _neighbors_clamped(y, ph, pw, p)
+        lap = -4.0 * y + r + l + d + u
+        return jnp.where(hole & inbox & color_mask, y + timestep * lap, y)
 
     for _ in range(niter):
         y = halfsweep(y, red)
@@ -64,21 +83,20 @@ def _relax(y, hole, ph, pw, timestep, niter, p):
     return y
 
 
-def _zoom_out2(x, ph, pw, p_child):
-    """NaN-discarding 2x2 block average, clamped to the valid box
-    (elap_recsep.c:129-185)."""
-    rows = jnp.arange(p_child)[:, None]
-    cols = jnp.arange(p_child)[None, :]
-
-    def get(dr, dc):
-        r = jnp.clip(2 * rows + dr, 0, ph - 1)
-        c = jnp.clip(2 * cols + dc, 0, pw - 1)
-        return x[r, c]
-
-    vals = jnp.stack([get(0, 0), get(0, 1), get(1, 0), get(1, 1)])
-    fin = jnp.isfinite(vals)
+def _zoom_out2(x, ph, pw, p_parent, p_child):
+    """NaN-discarding 2x2 block average (elap_recsep.c:129-185)."""
+    rows = jnp.arange(p_parent)[:, None]
+    cols = jnp.arange(p_parent)[None, :]
+    x = jnp.where((rows < ph) & (cols < pw), x, jnp.nan)
+    pad = 2 * p_child - p_parent
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, pad)), constant_values=jnp.nan)
+    blocks = jnp.stack(
+        [x[0::2, 0::2], x[0::2, 1::2], x[1::2, 0::2], x[1::2, 1::2]]
+    )
+    fin = jnp.isfinite(blocks)
     cnt = fin.sum(axis=0)
-    s = jnp.where(fin, vals, 0.0).sum(axis=0)
+    s = jnp.where(fin, blocks, 0.0).sum(axis=0)
     return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), jnp.nan)
 
 
@@ -104,29 +122,25 @@ def poisson_fill_canvas(
     p = x.shape[0]
     sizes = _level_sizes(p, scale)
 
-    # downsample chain: levels[k] has canvas sizes[k], valid box (phs[k], pws[k])
     levels = [x]
     phs = [ph]
     pws = [pw]
     for k in range(1, len(sizes)):
-        levels.append(_zoom_out2(levels[-1], phs[-1], pws[-1], sizes[k]))
+        levels.append(
+            _zoom_out2(levels[-1], phs[-1], pws[-1], sizes[k - 1], sizes[k])
+        )
         phs.append((phs[-1] + 1) // 2)
         pws.append((pws[-1] + 1) // 2)
 
-    # coarse-to-fine
     out = None
     for k in range(len(sizes) - 1, -1, -1):
         xk = levels[k]
-        if out is None:
-            init = jnp.zeros_like(xk)
-        else:
-            init = _zoom_in2(out, sizes[k])
+        init = jnp.zeros_like(xk) if out is None else _zoom_in2(out, sizes[k])
         rows = jnp.arange(sizes[k])[:, None]
         cols = jnp.arange(sizes[k])[None, :]
         inbox = (rows < phs[k]) & (cols < pws[k])
         hole = ~jnp.isfinite(xk)
         y = jnp.where(inbox, jnp.where(hole, init, xk), 0.0)
-        # guard: init itself can carry NaN if a whole block was empty
         y = jnp.where(jnp.isfinite(y), y, 0.0)
         out = _relax(y, hole, phs[k], pws[k], timestep, niter, sizes[k])
     return out
