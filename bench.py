@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: the FALDOI pipeline's compute stages (local densification +
+global refinement, TV-L1) on one MPI-Sintel pair, on the real TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "local_global_seconds", "value": <s>, "unit": "s",
+     "vs_baseline": <speedup>}
+
+Baseline: the reference OpenMP build's local+global wall-clock on 16 cores.
+The repo documents a 4x speedup at 16 CPUs over single-thread (README.md:96)
+and we measured the single-thread rebuilt binaries on this host at
+277.3 s (local) + 14.4 s (global) = 291.7 s on clean/easy with DeepMatching
+seeds; 291.7 / 4 = 72.9 s is the 16-core estimate used here.  The matcher
+stage is excluded on both sides (it is the same external binary).
+
+Env knobs: FALDOI_BENCH_BSZ (default 8192), FALDOI_BENCH_MODE
+(fused|chunked|step, default chunked), FALDOI_BENCH_REPEATS (default 1).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_16CORE_S = 72.9
+
+BASE = "/root/reference/example_data/clean/easy/"
+GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/golden/")
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from faldoi_tpu.io import read_flo
+    from faldoi_tpu.io.image import read_image_split
+    from faldoi_tpu.core.preprocess import prepare_pair
+    from faldoi_tpu.core.match_growing import match_growing
+    from faldoi_tpu.core.global_step import tvl2_global
+    from faldoi_tpu import params as P
+
+    bsz = int(os.environ.get("FALDOI_BENCH_BSZ", "8192"))
+    mode = os.environ.get("FALDOI_BENCH_MODE", "chunked")
+    repeats = int(os.environ.get("FALDOI_BENCH_REPEATS", "1"))
+
+    i0 = read_image_split(BASE + "frame_0002.png")
+    i1 = read_image_split(BASE + "frame_0003.png")
+    go = read_flo(GOLD + "deep_mt_1.flo")
+    ba = read_flo(GOLD + "deep_mt_2.flo")
+    gt = read_flo(BASE + "gt/frame_0002.flo")
+
+    a, b = prepare_pair(i0, i1)
+    prm = P.Parameters()
+    prm.val_method = P.M_TVL1
+    prm.iterations_of = P.LOCAL_ITER
+    prm.epsilon = P.FB_TOL
+
+    def pipeline():
+        flow, ene, _occ = match_growing(go, ba, a, b, prm, bsz=bsz, mode=mode)
+        u1, u2 = tvl2_global(
+            a, b, jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1])
+        )
+        return np.stack([np.asarray(u1), np.asarray(u2)], axis=-1)
+
+    # warmup (compiles)
+    t0 = time.time()
+    out = pipeline()
+    warm = time.time() - t0
+    print(f"# warmup (incl. compile): {warm:.1f}s", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        out = pipeline()
+        best = min(best, time.time() - t0)
+
+    epe_gt = float(
+        np.hypot(out[..., 0] - gt[..., 0], out[..., 1] - gt[..., 1]).mean()
+    )
+    ref_var = None
+    try:
+        ref_var = read_flo(GOLD + "deep_var.flo")
+        epe_ref = float(
+            np.hypot(out[..., 0] - ref_var[..., 0],
+                     out[..., 1] - ref_var[..., 1]).mean()
+        )
+        print(f"# EPE vs reference pipeline output: {epe_ref:.4f}",
+              file=sys.stderr)
+    except FileNotFoundError:
+        pass
+    print(f"# EPE vs GT: {epe_gt:.4f} (device: {jax.devices()[0]})",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "local_global_seconds",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_16CORE_S / best, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

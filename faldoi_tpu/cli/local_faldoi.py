@@ -80,21 +80,21 @@ def main(argv=None):
         sal[1] = read_image_split(sal_paths[1])[0]
 
     t0 = time.time()
-    if method == P.M_TVL1_OCC:
-        from faldoi_tpu.core.occlusion import match_growing_occ
+    from faldoi_tpu.core.match_growing import match_growing
 
+    if method == P.M_TVL1_OCC:
         i0n, i1n, i_1n, i2n = prepare_quad(*planes[:4])
-        flow, ene, occ = match_growing_occ(
-            go, ba, i0n, i1n, i_1n, i2n, prm, sal[0], sal[1]
+        flow, ene, occ = match_growing(
+            go, ba, i0n, i1n, prm, sal[0], sal[1],
+            i0_planes=planes[0], i1_planes=planes[1],
+            i_1n=i_1n, i2n=i2n, verbose=verbose,
         )
     else:
-        from faldoi_tpu.core.match_growing import match_growing
-
         i0n, i1n = prepare_pair(planes[0], planes[1])
-        flow, ene = match_growing(
-            go, ba, i0n, i1n, prm, sal[0], sal[1], verbose=verbose
+        flow, ene, occ = match_growing(
+            go, ba, i0n, i1n, prm, sal[0], sal[1],
+            i0_planes=planes[0], i1_planes=planes[1], verbose=verbose
         )
-        occ = None
     if verbose:
         print(f"(local) match growing took {time.time() - t0:.2f}s", file=sys.stderr)
 

@@ -46,6 +46,7 @@ import numpy as np
 
 from faldoi_tpu.ops.poisson import poisson_fill_canvas
 from faldoi_tpu.core.patch_solver import _solve_one, crop_padded, pad_for_crops
+from faldoi_tpu.core.functionals import SolverConsts, solve_tvl1
 from faldoi_tpu.ops.stencils import _rowcol_ids
 
 
@@ -59,6 +60,9 @@ class GrowState(NamedTuple):
     cand_e: jnp.ndarray  # inf = no candidate
     wu: jnp.ndarray      # (N+1,) persistent working flow (ofD->u1/u2)
     wv: jnp.ndarray
+    out_chi: jnp.ndarray  # (N+1,) occlusion output (method 8; 0 otherwise)
+    cand_chi: jnp.ndarray
+    wchi: jnp.ndarray
 
 
 def init_state(h: int, w: int) -> GrowState:
@@ -74,6 +78,9 @@ def init_state(h: int, w: int) -> GrowState:
         cand_e=jnp.full((n,), jnp.inf, jnp.float32),
         wu=jnp.full((n,), jnp.nan, jnp.float32),
         wv=jnp.full((n,), jnp.nan, jnp.float32),
+        out_chi=z,
+        cand_chi=z,
+        wchi=z,
     )
 
 
@@ -88,9 +95,9 @@ def _patch_geometry(idx, h, w, wr):
     return i, j, oy, ox, ph, pw
 
 
-def _scatter_min_payload(tgt_e, tgt_u, tgt_v, q, e, u, v, ok, dump):
-    """Scatter (e,u,v) to positions q where ok, keeping per-slot minimum e.
-    Ties may write either payload (payloads of equal energy are equivalent)."""
+def _scatter_min_payload(tgt_e, tgt_u, tgt_v, tgt_c, q, e, u, v, c, ok, dump):
+    """Scatter (e,u,v,chi) to positions q where ok, keeping per-slot minimum
+    e.  Ties may write either payload (equal-energy payloads equivalent)."""
     qs = jnp.where(ok, q, dump)
     e_masked = jnp.where(ok, e, jnp.inf)
     tgt_e = tgt_e.at[qs].min(e_masked)
@@ -98,11 +105,13 @@ def _scatter_min_payload(tgt_e, tgt_u, tgt_v, q, e, u, v, ok, dump):
     qw = jnp.where(winner, q, dump)
     tgt_u = tgt_u.at[qw].set(u)
     tgt_v = tgt_v.at[qw].set(v)
-    return tgt_e, tgt_u, tgt_v
+    tgt_c = tgt_c.at[qw].set(c)
+    return tgt_e, tgt_u, tgt_v, tgt_c
 
 
-def _scatter_max_payload(key_buf, tgt_u, tgt_v, q, key, u, v, ok, dump):
-    """Scatter (u,v) to q where ok, keeping payload of the maximum key."""
+def _scatter_max_payload(key_buf, tgt_u, tgt_v, tgt_c, q, key, u, v, c, ok,
+                         dump):
+    """Scatter (u,v,chi) to q where ok, keeping payload of the maximum key."""
     qs = jnp.where(ok, q, dump)
     k_masked = jnp.where(ok, key, -jnp.inf)
     key_buf = key_buf.at[qs].max(k_masked)
@@ -110,13 +119,14 @@ def _scatter_max_payload(key_buf, tgt_u, tgt_v, q, key, u, v, ok, dump):
     qw = jnp.where(winner, q, dump)
     tgt_u = tgt_u.at[qw].set(u)
     tgt_v = tgt_v.at[qw].set(v)
-    return tgt_u, tgt_v
+    tgt_c = tgt_c.at[qw].set(c)
+    return tgt_u, tgt_v, tgt_c
 
 
 def _sweep_body(
     state: GrowState,
-    i0pad, i1n, i1x, i1y, trust2d_pad, sal, iteration,
-    h, w, wr, bsz, lambda_, theta, tau, tol, warps, max_iters,
+    solver, sconsts, trust2d_pad, sal, iteration,
+    h, w, wr, bsz, warps, max_iters,
     delta=jnp.inf,
 ):
     """One wavefront sweep. Returns (state, n_accepted).
@@ -144,17 +154,21 @@ def _sweep_body(
     pop_u = state.cand_u[idx]
     pop_v = state.cand_v[idx]
     pop_e = state.cand_e[idx]
+    pop_c = state.cand_chi[idx]
     fixed = state.fixed.at[idx_s].set(True)
     out_u = state.out_u.at[idx_s].set(pop_u)
     out_v = state.out_v.at[idx_s].set(pop_v)
+    out_chi = state.out_chi.at[idx_s].set(pop_c)
     ene = state.ene.at[idx_s].set(pop_e)
     cand_e = state.cand_e.at[idx_s].set(jnp.inf)
 
     fx_pad = pad_for_crops(fixed[:n].reshape(h, w), p)
     ou_pad = pad_for_crops(out_u[:n].reshape(h, w), p)
     ov_pad = pad_for_crops(out_v[:n].reshape(h, w), p)
+    oc_pad = pad_for_crops(out_chi[:n].reshape(h, w), p)
     wu_pad = pad_for_crops(state.wu[:n].reshape(h, w), p)
     wv_pad = pad_for_crops(state.wv[:n].reshape(h, w), p)
+    wc_pad = pad_for_crops(state.wchi[:n].reshape(h, w), p)
 
     rows, cols = _rowcol_ids((p, p))
 
@@ -168,6 +182,8 @@ def _sweep_body(
         wv_p = crop_padded(wv_pad, oy_k, ox_k, p)
         tr = crop_padded(trust2d_pad, oy_k, ox_k, p)
 
+        oc = crop_padded(oc_pad, oy_k, ox_k, p)
+        wc_p = crop_padded(wc_pad, oy_k, ox_k, p)
         fill_u = poisson_fill_canvas(jnp.where(fxp, ou, jnp.nan), ph_k, pw_k)
         fill_v = poisson_fill_canvas(jnp.where(fxp, ov, jnp.nan), ph_k, pw_k)
         alt_u = jnp.where(fxp, ou, wu_p)
@@ -177,19 +193,20 @@ def _sweep_body(
         use_fill = (iteration == 0) | untrusted | bad_alt
         u0 = jnp.where(use_fill, fill_u, alt_u)
         v0 = jnp.where(use_fill, fill_v, alt_v)
-        return jnp.where(inbox, u0, 0.0), jnp.where(inbox, v0, 0.0)
+        # chi init: fixed pixels use out values, else working chi (0 default)
+        c0 = jnp.where(fxp, oc, jnp.where(jnp.isfinite(wc_p), wc_p, 0.0))
+        return (jnp.where(inbox, u0, 0.0), jnp.where(inbox, v0, 0.0),
+                jnp.where(inbox, c0, 0.0))
 
-    u_init, v_init = jax.vmap(build_init)(oy, ox, ph, pw)
+    u_init, v_init, c_init = jax.vmap(build_init)(oy, ox, ph, pw)
 
-    # --- batched patch PD solve (of_estimation -> guided_tvl2coupled)
-    def solve(oy_k, ox_k, ph_k, pw_k, u0, v0):
-        i0_patch = crop_padded(i0pad, oy_k, ox_k, p)
-        return _solve_one(
-            i1n, i1x, i1y, i0_patch, oy_k, ox_k, ph_k, pw_k, u0, v0,
-            lambda_, theta, tau, tol, warps, max_iters, p,
-        )
+    # --- batched patch PD solve (of_estimation dispatcher)
+    def solve(i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0):
+        return solver(sconsts, i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0,
+                      p, warps, max_iters, wr)
 
-    su, sv, ener = jax.vmap(solve)(oy, ox, ph, pw, u_init, v_init)
+    su, sv, schi, ener = jax.vmap(solve)(i, j, oy, ox, ph, pw,
+                                         u_init, v_init, c_init)
 
     cy = j - oy
     cx = i - ox
@@ -203,7 +220,7 @@ def _sweep_body(
     # (the key fidelity mechanism that makes large sweeps track the strict
     # priority order).
     prev_fixed = state.fixed
-    cand_u, cand_v = state.cand_u, state.cand_v
+    cand_u, cand_v, cand_chi = state.cand_u, state.cand_v, state.cand_chi
     for (dx, dy) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
         qi = i + dx
         qj = j + dy
@@ -212,24 +229,27 @@ def _sweep_body(
         new_e = ener * sal[q]
         nu = su[bidx, cy + dy, cx + dx]
         nv = sv[bidx, cy + dy, cx + dx]
+        nc = schi[bidx, cy + dy, cx + dx]
         ok = inb & ~fixed[q] & (new_e < cand_e[q])
-        cand_e, cand_u, cand_v = _scatter_min_payload(
-            cand_e, cand_u, cand_v, q, new_e, nu, nv, ok, dump
+        cand_e, cand_u, cand_v, cand_chi = _scatter_min_payload(
+            cand_e, cand_u, cand_v, cand_chi, q, new_e, nu, nv, nc, ok, dump
         )
         accepted_now = fixed[q] & ~prev_fixed[q]
         ok_don = inb & accepted_now & (new_e < ene[q])
-        ene, out_u, out_v = _scatter_min_payload(
-            ene, out_u, out_v, q, new_e, nu, nv, ok_don, dump
+        ene, out_u, out_v, out_chi = _scatter_min_payload(
+            ene, out_u, out_v, out_chi, q, new_e, nu, nv, nc, ok_don, dump
         )
 
     # --- centre update (add_neighbors :718-726), after donations so the
     # comparison target matches the serial pop value
     s_cu = su[bidx, cy, cx]
     s_cv = sv[bidx, cy, cx]
+    s_cc = schi[bidx, cy, cx]
     better = valid & (ener < ene[idx_s])
     upd = jnp.where(better, idx, dump)
     out_u = out_u.at[upd].set(s_cu)
     out_v = out_v.at[upd].set(s_cv)
+    out_chi = out_chi.at[upd].set(s_cc)
     ene = ene.at[upd].set(jnp.where(better, ener, jnp.inf))
 
     # --- persistent working-flow scatter (max-energy wins == later-pop wins)
@@ -240,35 +260,34 @@ def _sweep_body(
     flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
     key = jnp.broadcast_to(ener[:, None, None], su.shape).reshape(-1)
     key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
-    wu, wv = _scatter_max_payload(
-        key_buf, state.wu, state.wv, flat_q, key,
-        su.reshape(-1), sv.reshape(-1), cell_ok.reshape(-1), dump,
+    wu, wv, wchi = _scatter_max_payload(
+        key_buf, state.wu, state.wv, state.wchi, flat_q, key,
+        su.reshape(-1), sv.reshape(-1), schi.reshape(-1),
+        cell_ok.reshape(-1), dump,
     )
 
-    new_state = GrowState(fixed, out_u, out_v, ene, cand_u, cand_v, cand_e, wu, wv)
+    new_state = GrowState(fixed, out_u, out_v, ene, cand_u, cand_v, cand_e,
+                          wu, wv, out_chi, cand_chi, wchi)
     return new_state, n_acc
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "h", "w", "wr", "bsz", "lambda_", "theta", "tau", "tol", "warps",
-        "max_iters", "delta",
+        "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
     ),
 )
 def grow_to_completion(
     state: GrowState,
-    i0n, i1n, i1x, i1y,
+    solver, sconsts,
     trust, sal, iteration,
     h: int, w: int, wr: int, bsz: int,
-    lambda_: float, theta: float, tau: float, tol: float,
     warps: int, max_iters: int, delta: float = float("inf"),
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
     n = h * w
     p = 2 * wr + 1
-    i0pad = pad_for_crops(i0n, p)
     trust2d_pad = pad_for_crops(trust[:n].reshape(h, w), p)
 
     def cond(carry):
@@ -278,8 +297,8 @@ def grow_to_completion(
     def body(carry):
         st, _, sweeps = carry
         st, n_acc = _sweep_body(
-            st, i0pad, i1n, i1x, i1y, trust2d_pad, sal, iteration,
-            h, w, wr, bsz, lambda_, theta, tau, tol, warps, max_iters,
+            st, solver, sconsts, trust2d_pad, sal, iteration,
+            h, w, wr, bsz, warps, max_iters,
             delta=delta,
         )
         return (st, n_acc, sweeps + 1)
@@ -292,16 +311,14 @@ def grow_to_completion(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "h", "w", "wr", "bsz", "lambda_", "theta", "tau", "tol", "warps",
-        "max_iters", "delta",
+        "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
     ),
 )
 def grow_step(
     state: GrowState,
-    i0n, i1n, i1x, i1y,
+    solver, sconsts,
     trust, sal, iteration,
     h: int, w: int, wr: int, bsz: int,
-    lambda_: float, theta: float, tau: float, tol: float,
     warps: int, max_iters: int, delta: float = float("inf"),
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
@@ -309,29 +326,66 @@ def grow_step(
     for debugging sweep-by-sweep."""
     n = h * w
     p = 2 * wr + 1
-    i0pad = pad_for_crops(i0n, p)
     trust2d_pad = pad_for_crops(trust[:n].reshape(h, w), p)
     return _sweep_body(
-        state, i0pad, i1n, i1x, i1y, trust2d_pad, sal, iteration,
-        h, w, wr, bsz, lambda_, theta, tau, tol, warps, max_iters,
+        state, solver, sconsts, trust2d_pad, sal, iteration,
+        h, w, wr, bsz, warps, max_iters,
         delta=delta,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "bsz", "lambda_", "theta", "tau", "tol",
-                     "warps", "max_iters"),
+    static_argnames=(
+        "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
+        "chunk",
+    ),
+)
+def grow_chunk(
+    state: GrowState,
+    solver, sconsts,
+    trust, sal, iteration,
+    h: int, w: int, wr: int, bsz: int,
+    warps: int, max_iters: int, delta: float = float("inf"),
+    chunk: int = 8,
+):
+    """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
+    latency (significant through the tunneled TPU) without the compile cost
+    of the unbounded fused loop."""
+    n = h * w
+    p = 2 * wr + 1
+    trust2d_pad = pad_for_crops(trust[:n].reshape(h, w), p)
+
+    def cond(carry):
+        _, n_acc, k = carry
+        return jnp.logical_and(n_acc > 0, k < chunk)
+
+    def body(carry):
+        st, _, k = carry
+        st, n_acc = _sweep_body(
+            st, solver, sconsts, trust2d_pad, sal, iteration,
+            h, w, wr, bsz, warps, max_iters,
+            delta=delta,
+        )
+        return (st, n_acc, k + 1)
+
+    carry = (state, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
+    state, n_acc, _ = jax.lax.while_loop(cond, body, carry)
+    return state, n_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("solver", "h", "w", "bsz", "warps", "max_iters"),
 )
 def seed_batch(
     state: GrowState,
     seed_idx,                     # (bsz,) flat indices (dump-padded)
     seed_u, seed_v,               # (bsz,) seed flow
     seed_valid,                   # (bsz,) bool
-    i0n, i1n, i1x, i1y,
+    solver, sconsts,
     sal,
     h: int, w: int, bsz: int,
-    lambda_: float, theta: float, tau: float, tol: float,
     warps: int, max_iters: int,
 ):
     """insert_initial_seeds (:748-796): 3x3 solves around each seed with only
@@ -341,7 +395,6 @@ def seed_batch(
     dump = n
     wr = 1
     p = 3
-    i0pad = pad_for_crops(i0n, p)
     idx = seed_idx
     i, j, oy, ox, ph, pw = _patch_geometry(idx, h, w, wr)
     rows, cols = _rowcol_ids((p, p))
@@ -354,20 +407,20 @@ def seed_batch(
         return jnp.where(inbox, fu, 0.0), jnp.where(inbox, fv, 0.0)
 
     u_init, v_init = jax.vmap(build_init)(oy, ox, ph, pw, j, i, seed_u, seed_v)
+    c_init = jnp.zeros_like(u_init)
 
-    def solve(oy_k, ox_k, ph_k, pw_k, u0, v0):
-        i0_patch = crop_padded(i0pad, oy_k, ox_k, p)
-        return _solve_one(
-            i1n, i1x, i1y, i0_patch, oy_k, ox_k, ph_k, pw_k, u0, v0,
-            lambda_, theta, tau, tol, warps, max_iters, p,
-        )
+    def solve(i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0):
+        return solver(sconsts, i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0,
+                      p, warps, max_iters, 1)
 
-    su, sv, ener = jax.vmap(solve)(oy, ox, ph, pw, u_init, v_init)
+    su, sv, schi, ener = jax.vmap(solve)(i, j, oy, ox, ph, pw,
+                                         u_init, v_init, c_init)
 
     cy = j - oy
     cx = i - ox
     bidx = jnp.arange(bsz)
     cand_u, cand_v, cand_e = state.cand_u, state.cand_v, state.cand_e
+    cand_chi = state.cand_chi
     for (dx, dy) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
         qi = i + dx
         qj = j + dy
@@ -377,8 +430,9 @@ def seed_batch(
         ok = inb & (new_e < cand_e[q])
         nu = su[bidx, cy + dy, cx + dx]
         nv = sv[bidx, cy + dy, cx + dx]
-        cand_e, cand_u, cand_v = _scatter_min_payload(
-            cand_e, cand_u, cand_v, q, new_e, nu, nv, ok, dump
+        nc = schi[bidx, cy + dy, cx + dx]
+        cand_e, cand_u, cand_v, cand_chi = _scatter_min_payload(
+            cand_e, cand_u, cand_v, cand_chi, q, new_e, nu, nv, nc, ok, dump
         )
 
     gy = oy[:, None, None] + rows[None]
@@ -388,37 +442,40 @@ def seed_batch(
     flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
     key = jnp.broadcast_to(ener[:, None, None], su.shape).reshape(-1)
     key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
-    wu, wv = _scatter_max_payload(
-        key_buf, state.wu, state.wv, flat_q, key,
-        su.reshape(-1), sv.reshape(-1), cell_ok.reshape(-1), dump,
+    wu, wv, wchi = _scatter_max_payload(
+        key_buf, state.wu, state.wv, state.wchi, flat_q, key,
+        su.reshape(-1), sv.reshape(-1), schi.reshape(-1),
+        cell_ok.reshape(-1), dump,
     )
     return state._replace(cand_u=cand_u, cand_v=cand_v, cand_e=cand_e,
-                          wu=wu, wv=wv)
+                          cand_chi=cand_chi, wu=wu, wv=wv, wchi=wchi)
 
 
 class LocalSolver:
     """Orchestrates the iterated local growing for one direction pair
     (``match_growing_variational``, local_faldoi.cpp:1060-1741)."""
 
-    def __init__(self, h, w, wr=5, bsz=4096, lambda_=40.0, theta=0.3,
-                 tau=0.125, tol=0.01, warps=1, max_iters=4, seed_bsz=2048,
-                 fused=True, delta=float("inf")):
+    def __init__(self, h, w, wr=5, bsz=4096, solver=solve_tvl1,
+                 warps=1, max_iters=4, seed_bsz=2048,
+                 mode="fused", delta=float("inf"), chunk=16, fused=None):
         self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
         self.seed_bsz = seed_bsz
-        self.fused = fused
+        self.solver = solver
+        if fused is not None:  # back-compat boolean
+            mode = "fused" if fused else "step"
+        self.mode = mode
         self.delta = delta
-        self.kw = dict(lambda_=lambda_, theta=theta, tau=tau, tol=tol,
-                       warps=warps, max_iters=max_iters)
+        self.chunk = chunk
+        self.kw = dict(warps=warps, max_iters=max_iters)
 
     def insert_seeds(self, state: GrowState, seeds: np.ndarray,
-                     imgs, sal) -> GrowState:
+                     sconsts, sal) -> GrowState:
         """seeds: (h, w, 2) NaN-sparse field."""
         h, w = self.h, self.w
         n = h * w
         su = np.asarray(seeds[:, :, 0]).ravel()
         sv = np.asarray(seeds[:, :, 1]).ravel()
         pos = np.nonzero(np.isfinite(su) & np.isfinite(sv))[0]
-        i0n, i1n, i1x, i1y = imgs
         b = self.seed_bsz
         for k0 in range(0, max(len(pos), 1), b):
             chunk = pos[k0 : k0 + b]
@@ -428,7 +485,7 @@ class LocalSolver:
             cv = jnp.asarray(np.pad(sv[chunk], (0, pad)))
             vmask = jnp.asarray(np.pad(np.ones(len(chunk), bool), (0, pad)))
             state = seed_batch(
-                state, idx, cu, cv, vmask, i0n, i1n, i1x, i1y, sal,
+                state, idx, cu, cv, vmask, self.solver, sconsts, sal,
                 h, w, b, **self.kw
             )
         # re-fix seeds with original flow and zero energy (:785-795)
@@ -442,20 +499,29 @@ class LocalSolver:
         )
         return state
 
-    def grow(self, state: GrowState, imgs, trust, sal, iteration,
+    def grow(self, state: GrowState, sconsts, trust, sal, iteration,
              max_sweeps=100000) -> GrowState:
         """Run sweeps until the candidate queue is empty."""
-        i0n, i1n, i1x, i1y = imgs
         it = jnp.asarray(iteration, jnp.int32)
-        if self.fused:
+        if self.mode == "fused":
             state, _sweeps = grow_to_completion(
-                state, i0n, i1n, i1x, i1y, trust, sal, it,
+                state, self.solver, sconsts, trust, sal, it,
                 self.h, self.w, self.wr, self.bsz, delta=self.delta, **self.kw
             )
             return state
+        if self.mode == "chunked":
+            for _ in range(max_sweeps):
+                state, n_acc = grow_chunk(
+                    state, self.solver, sconsts, trust, sal, it,
+                    self.h, self.w, self.wr, self.bsz, delta=self.delta,
+                    chunk=self.chunk, **self.kw
+                )
+                if int(n_acc) == 0:
+                    break
+            return state
         for _ in range(max_sweeps):
             state, n_acc = grow_step(
-                state, i0n, i1n, i1x, i1y, trust, sal, it,
+                state, self.solver, sconsts, trust, sal, it,
                 self.h, self.w, self.wr, self.bsz, delta=self.delta, **self.kw
             )
             if int(n_acc) == 0:

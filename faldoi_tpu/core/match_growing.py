@@ -18,6 +18,8 @@ import numpy as np
 
 from faldoi_tpu.ops.stencils import centered_gradient
 from faldoi_tpu.core.local_step import GrowState, LocalSolver, init_state
+from faldoi_tpu.core.functionals import SOLVERS, make_solver_consts
+from faldoi_tpu.core.patch_solver import pad_for_crops
 from faldoi_tpu.core.pruning import prune
 from faldoi_tpu.models import method_local_params
 from faldoi_tpu import params as P
@@ -33,6 +35,7 @@ def _delete_untrusted(state: GrowState, trust, n) -> GrowState:
         ene=jnp.where(bad, jnp.inf, state.ene),
         wu=state.wu + nanv,   # NaN-poison untrusted working flow
         wv=state.wv + nanv,
+        out_chi=jnp.where(bad, 1.0, state.out_chi),  # untrusted => occluded
     )
 
 
@@ -69,20 +72,60 @@ def match_growing(
     prm: P.Parameters,
     sal_go: Optional[np.ndarray] = None,
     sal_ba: Optional[np.ndarray] = None,
+    i0_planes: Optional[np.ndarray] = None,
+    i1_planes: Optional[np.ndarray] = None,
+    i_1n: Optional[jnp.ndarray] = None,   # method 8: frame t-1
+    i2n: Optional[jnp.ndarray] = None,    # method 8: frame t+2
     bsz: int = 4096,
     verbose: bool = False,
-    fused: bool = True,
+    mode: str = "fused",
     delta: float = float("inf"),
+    chunk: int = 16,
+    fused=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
     h, w = i0n.shape
     n = h * w
     lam, theta, tau = method_local_params(prm.val_method, prm.w_radio)
+    p = 2 * prm.w_radio + 1
 
     i0x, i0y = centered_gradient(i0n)
     i1x, i1y = centered_gradient(i1n)
-    imgs_go = (i0n, i1n, i1x, i1y)   # fwd: warp I1
-    imgs_ba = (i1n, i0n, i0x, i0y)   # bwd: warp I0
+    solver = SOLVERS[prm.val_method]
+    # fwd: source I0, warp I1; bwd: source I1, warp I0
+    sc_go = make_solver_consts(
+        prm.val_method, pad_for_crops(i0n, p), i1n, i1x, i1y,
+        lam, theta, tau, prm.tol_OF, wr=prm.w_radio,
+        i0_planes=i0_planes, p=p,
+    )
+    sc_ba = make_solver_consts(
+        prm.val_method, pad_for_crops(i1n, p), i0n, i0x, i0y,
+        lam, theta, tau, prm.tol_OF, wr=prm.w_radio,
+        i0_planes=i1_planes, p=p,
+    )
+    if prm.val_method == P.M_TVL1_OCC:
+        # 4-frame occlusion setup (energy_model.cpp:609-658): the fwd
+        # direction warps I1 forward and I-1 backward; the bwd direction
+        # warps I0 forward and I2 backward; g = 1/(1+gamma|grad src|).
+        from faldoi_tpu.core.occlusion import init_weight
+
+        assert i_1n is not None and i2n is not None, "method 8 needs 4 frames"
+        i_1x, i_1y = centered_gradient(i_1n)
+        i2x, i2y = centered_gradient(i2n)
+        occ_prm = jnp.asarray(
+            [prm.alpha, prm.beta, prm.mu, prm.tau_u, prm.tau_eta, prm.tau_chi],
+            jnp.float32,
+        )
+        g_go = init_weight(i0x, i0y)
+        g_ba = init_weight(i1x, i1y)
+        sc_go = sc_go._replace(
+            i_1=i_1n, i_1x=i_1x, i_1y=i_1y,
+            gpad=pad_for_crops(g_go, p), occ_prm=occ_prm,
+        )
+        sc_ba = sc_ba._replace(
+            i_1=i2n, i_1x=i2x, i_1y=i2y,
+            gpad=pad_for_crops(g_ba, p), occ_prm=occ_prm,
+        )
 
     def mksal(s):
         base = np.ones(n + 1, np.float32)
@@ -93,10 +136,14 @@ def match_growing(
     sal_g = mksal(sal_go)
     sal_b = mksal(sal_ba)
 
-    solver = LocalSolver(
-        h, w, wr=prm.w_radio, bsz=bsz, lambda_=lam, theta=theta, tau=tau,
-        tol=prm.tol_OF, warps=prm.warps, max_iters=prm.max_iter_patch,
-        fused=fused, delta=delta,
+    # the occ solver's PD cap is iterations_of, not max_iter_patch
+    # (tvl2_model_occ.cpp:653 reads ofD->params.iterations_of)
+    pd_cap = (prm.iterations_of if prm.val_method == P.M_TVL1_OCC
+              else prm.max_iter_patch)
+    ls = LocalSolver(
+        h, w, wr=prm.w_radio, bsz=bsz, solver=solver,
+        warps=prm.warps, max_iters=max(pd_cap, 1),
+        mode=mode, delta=delta, chunk=chunk, fused=fused,
     )
 
     import time
@@ -111,8 +158,8 @@ def match_growing(
     t = time.time()
     st_go = init_state(h, w)
     st_ba = init_state(h, w)
-    st_go = solver.insert_seeds(st_go, go, imgs_go, sal_g)
-    st_ba = solver.insert_seeds(st_ba, ba, imgs_ba, sal_b)
+    st_go = ls.insert_seeds(st_go, go, sc_go, sal_g)
+    st_ba = ls.insert_seeds(st_ba, ba, sc_ba, sal_b)
     jax.block_until_ready(st_go)
     t = tick("seed insertion", t)
 
@@ -120,8 +167,8 @@ def match_growing(
     trust_go, trust_ba = trust_all, trust_all
 
     for it in range(prm.iterations_of):
-        st_go = solver.grow(st_go, imgs_go, trust_go, sal_g, it)
-        st_ba = solver.grow(st_ba, imgs_ba, trust_ba, sal_b, it)
+        st_go = ls.grow(st_go, sc_go, trust_go, sal_g, it)
+        st_ba = ls.grow(st_ba, sc_ba, trust_ba, sal_b, it)
         jax.block_until_ready(st_ba)
         t = tick(f"growings it={it}", t)
 
@@ -143,10 +190,11 @@ def match_growing(
         t = tick(f"prune+requeue it={it}", t)
 
     # final forward-only growing (local_faldoi.cpp:1636-1712)
-    st_go = solver.grow(st_go, imgs_go, trust_go, sal_g, prm.iterations_of)
+    st_go = ls.grow(st_go, sc_go, trust_go, sal_g, prm.iterations_of)
     jax.block_until_ready(st_go)
     t = tick("final growing", t)
 
     flow = _flow2d(st_go, h, w)
     ene = np.asarray(st_go.ene[:n]).reshape(h, w)
-    return flow, ene
+    occ = np.asarray(st_go.out_chi[:n]).reshape(h, w)
+    return flow, ene, occ

@@ -38,4 +38,11 @@ def sparse_flow_from_matches(matches: np.ndarray, w: int, h: int) -> np.ndarray:
 
 
 def sparse_flow(match_path: str, w: int, h: int) -> np.ndarray:
-    return sparse_flow_from_matches(parse_matches(match_path), w, h)
+    try:  # native fast path
+        from faldoi_tpu.native import faldoi_io as _native
+
+        rows, n = _native.parse_matches(match_path, 4)
+        payload = _native.rasterize_matches(rows, n, w, h)
+        return np.frombuffer(payload, "<f4").reshape(h, w, 2).copy()
+    except ImportError:
+        return sparse_flow_from_matches(parse_matches(match_path), w, h)

@@ -1,0 +1,270 @@
+"""Multi-chip scale-out over a jax.sharding.Mesh.
+
+The reference has no distributed backend (SURVEY §2.6): its parallelism is
+OpenMP threads (subsumed here by XLA vectorisation) and spatial partitions
+(``-split_img``).  The TPU-native scaling axes are:
+
+* **data parallelism** over frame pairs (axis ``data``): each chip solves
+  whole pairs; no collectives inside a solve.  This is the production
+  throughput axis — optical flow over a video/dataset is embarrassingly
+  parallel across pairs.
+* **spatial parallelism** (axis ``space``): one frame's rows sharded across
+  chips, with 1-row halo exchanges (``ppermute`` over ICI) around each PD
+  iteration's stencils — the TPU-native replacement for the reference's
+  ``-split_img`` partition threads (``aux_partitions.cpp``), with halos
+  instead of the reference's seam-avoiding grid transposes.
+
+Both compose in a 2-D mesh ('data', 'space').
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+from faldoi_tpu.core.pd_common import tvl1_threshold, tvl2_getD, tvl2_getP, warp_constants
+from faldoi_tpu.ops import bicubic_warp, centered_gradient
+
+
+def make_mesh(n_data: int, n_space: int = 1) -> Mesh:
+    devs = np.array(jax.devices()[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devs, ("data", "space"))
+
+
+# ---------------------------------------------------------------------------
+# Data parallelism: batch of frame pairs sharded over 'data'.
+# ---------------------------------------------------------------------------
+
+
+def dp_global_refine(mesh: Mesh, i0b, i1b, u1b, u2b, warps=2, iters=40,
+                     lambda_=40.0, theta=0.3, tau=0.125):
+    """Batched TV-L1 global refinement, batch axis sharded over 'data'.
+
+    A fixed-iteration variant of core.global_step.tvl2_global (early-exit
+    tolerances don't batch well across shards)."""
+
+    def one(i0, i1, u1, u2):
+        i1x, i1y = centered_gradient(i1)
+        xi = [jnp.zeros_like(u1) for _ in range(4)]
+        l_t = lambda_ * theta
+        for _ in range(warps):
+            i1w = bicubic_warp(i1, u1, u2, True)
+            i1wx = bicubic_warp(i1x, u1, u2, True)
+            i1wy = bicubic_warp(i1y, u1, u2, True)
+            grad, rho_c = warp_constants(i0, i1w, i1wx, i1wy, u1, u2)
+
+            def body(_, st):
+                u1, u2, u1_, u2_, xi11, xi12, xi21, xi22 = st
+                v1, v2 = tvl1_threshold(u1, u2, rho_c, i1wx, i1wy, grad, l_t)
+                from faldoi_tpu.ops import divergence, forward_gradient
+
+                u1x, u1y = forward_gradient(u1_)
+                u2x, u2y = forward_gradient(u2_)
+                xi11, xi12, xi21, xi22 = tvl2_getD(
+                    xi11, xi12, xi21, xi22, u1x, u1y, u2x, u2y, tau
+                )
+                d1 = divergence(xi11, xi12)
+                d2 = divergence(xi21, xi22)
+                nu1, nu2, _ = tvl2_getP(u1, u2, v1, v2, d1, d2, theta, tau)
+                return (nu1, nu2, 2 * nu1 - u1, 2 * nu2 - u2,
+                        xi11, xi12, xi21, xi22)
+
+            st = (u1, u2, u1, u2, *xi)
+            st = jax.lax.fori_loop(0, iters, body, st)
+            u1, u2 = st[0], st[1]
+            xi = list(st[4:8])
+        return u1, u2
+
+    sh = NamedSharding(mesh, PS("data"))
+    i0b, i1b, u1b, u2b = (jax.device_put(x, sh) for x in (i0b, i1b, u1b, u2b))
+    fn = jax.jit(jax.vmap(one), in_shardings=(sh, sh, sh, sh),
+                 out_shardings=(sh, sh))
+    return fn(i0b, i1b, u1b, u2b)
+
+
+# ---------------------------------------------------------------------------
+# Spatial parallelism: rows of one frame sharded over 'space', halo exchange.
+# ---------------------------------------------------------------------------
+
+
+def _halo_exchange_rows(x, axis_name):
+    """Append the neighbour shards' boundary rows: returns x padded with one
+    row from the shard above (top) and below (bottom); edge shards replicate
+    their own edge row (Neumann-consistent)."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    # send my first row up / my last row down
+    from_below = jax.lax.ppermute(  # row that lives just below my last row
+        x[:1], axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    from_above = jax.lax.ppermute(  # row just above my first row
+        x[-1:], axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    top = jnp.where(idx == 0, x[:1], from_above)
+    bot = jnp.where(idx == n - 1, x[-1:], from_below)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def _fwd_grad_sharded(f, axis_name):
+    """forward_gradient with the y-derivative crossing shard boundaries; the
+    global last row gets fy=0 (mask via axis_index)."""
+    fx = jnp.concatenate([f[:, 1:] - f[:, :-1], jnp.zeros_like(f[:, :1])], axis=1)
+    fpad = _halo_exchange_rows(f, axis_name)
+    fy = fpad[2:, :] - fpad[1:-1, :]
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    rows = jnp.arange(f.shape[0])[:, None]
+    is_global_last = (idx == n - 1) & (rows == f.shape[0] - 1)
+    fy = jnp.where(is_global_last, 0.0, fy)
+    return fx, fy
+
+
+def _divergence_sharded(v1, v2, axis_name):
+    """Chambolle divergence with the y-difference crossing shard boundaries."""
+    dx = jnp.concatenate(
+        [v1[:, :1], v1[:, 1:-1] - v1[:, :-2], -v1[:, -2:-1]], axis=1
+    )
+    vpad = _halo_exchange_rows(v2, axis_name)
+    dy_mid = vpad[1:-1, :] - vpad[:-2, :]
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    rows = jnp.arange(v1.shape[0])[:, None]
+    first = (idx == 0) & (rows == 0)
+    last = (idx == n - 1) & (rows == v1.shape[0] - 1)
+    dy = jnp.where(first, v2, jnp.where(last, -vpad[:-2, :], dy_mid))
+    return dx + dy
+
+
+def spatial_tvl2_global(mesh: Mesh, i0, i1, u1, u2, iters=40, warps=1,
+                        lambda_=40.0, theta=0.3, tau=0.125):
+    """TV-L1 global refinement with H sharded over the 'space' axis.
+
+    The warp (a gather) runs on replicated frames; the PD stencil loop runs
+    fully sharded with 1-row ppermute halos per iteration — collectives ride
+    ICI, matching the scaling-book recipe for stencil workloads."""
+    l_t = lambda_ * theta
+    n_space = mesh.shape["space"]
+    h = i0.shape[0]
+    assert h % n_space == 0, "H must divide the space axis"
+
+    i1x, i1y = centered_gradient(i1)
+
+    from jax.experimental.shard_map import shard_map
+
+    def pd_shard(i0s, i1ws, i1wxs, i1wys, u1s, u2s):
+        grad, rho_c = warp_constants(i0s, i1ws, i1wxs, i1wys, u1s, u2s)
+        xi11 = jnp.zeros_like(u1s)
+        xi12 = jnp.zeros_like(u1s)
+        xi21 = jnp.zeros_like(u1s)
+        xi22 = jnp.zeros_like(u1s)
+
+        def body(_, st):
+            u1, u2, u1_, u2_, xi11, xi12, xi21, xi22 = st
+            v1, v2 = tvl1_threshold(u1, u2, rho_c, i1wxs, i1wys, grad, l_t)
+            u1x, u1y = _fwd_grad_sharded(u1_, "space")
+            u2x, u2y = _fwd_grad_sharded(u2_, "space")
+            xi11, xi12, xi21, xi22 = tvl2_getD(
+                xi11, xi12, xi21, xi22, u1x, u1y, u2x, u2y, tau
+            )
+            d1 = _divergence_sharded(xi11, xi12, "space")
+            d2 = _divergence_sharded(xi21, xi22, "space")
+            nu1, nu2, _ = tvl2_getP(u1, u2, v1, v2, d1, d2, theta, tau)
+            return (nu1, nu2, 2 * nu1 - u1, 2 * nu2 - u2,
+                    xi11, xi12, xi21, xi22)
+
+        st = (u1s, u2s, u1s, u2s, xi11, xi12, xi21, xi22)
+        st = jax.lax.fori_loop(0, iters, body, st)
+        return st[0], st[1]
+
+    sharded = shard_map(
+        pd_shard,
+        mesh=mesh,
+        in_specs=(PS("space", None),) * 6,
+        out_specs=(PS("space", None), PS("space", None)),
+    )
+
+    @jax.jit
+    def run(i0, i1, i1x, i1y, u1, u2):
+        for _ in range(warps):
+            i1w = bicubic_warp(i1, u1, u2, True)
+            i1wx = bicubic_warp(i1x, u1, u2, True)
+            i1wy = bicubic_warp(i1y, u1, u2, True)
+            u1, u2 = sharded(i0, i1w, i1wx, i1wy, u1, u2)
+        return u1, u2
+
+    return run(i0, i1, i1x, i1y, u1, u2)
+
+
+def pipeline_train_step(mesh: Mesh, batch_i0, batch_i1, batch_seeds):
+    """One full pipeline step over a sharded batch of frame pairs — the
+    "training step" analogue the multi-chip dryrun exercises: seeds ->
+    short local densification (batched patch PD on a coarse grid) ->
+    global refinement, all under one jit over the mesh."""
+    sh = NamedSharding(mesh, PS("data"))
+    batch_i0 = jax.device_put(batch_i0, sh)
+    batch_i1 = jax.device_put(batch_i1, sh)
+    batch_seeds = jax.device_put(batch_seeds, sh)
+
+    def one(i0, i1, seeds):
+        # dense seed fill (nan -> nearest-ish via masked mean iterations)
+        u = seeds[..., 0]
+        v = seeds[..., 1]
+        mask = jnp.isfinite(u)
+        u0 = jnp.where(mask, u, 0.0)
+        v0 = jnp.where(mask, v, 0.0)
+        m = mask.astype(jnp.float32)
+        for _ in range(8):  # diffusion fill
+            ksum = (
+                jnp.roll(m, 1, 0) + jnp.roll(m, -1, 0)
+                + jnp.roll(m, 1, 1) + jnp.roll(m, -1, 1)
+            )
+            usum = (
+                jnp.roll(u0 * m, 1, 0) + jnp.roll(u0 * m, -1, 0)
+                + jnp.roll(u0 * m, 1, 1) + jnp.roll(u0 * m, -1, 1)
+            )
+            vsum = (
+                jnp.roll(v0 * m, 1, 0) + jnp.roll(v0 * m, -1, 0)
+                + jnp.roll(v0 * m, 1, 1) + jnp.roll(v0 * m, -1, 1)
+            )
+            grow = (ksum > 0) & ~mask
+            u0 = jnp.where(grow, usum / jnp.maximum(ksum, 1), u0)
+            v0 = jnp.where(grow, vsum / jnp.maximum(ksum, 1), v0)
+            mask = mask | grow
+            m = mask.astype(jnp.float32)
+
+        # global TV-L1 refinement (short)
+        i1x, i1y = centered_gradient(i1)
+        l_t = 40.0 * 0.3
+        i1w = bicubic_warp(i1, u0, v0, True)
+        i1wx = bicubic_warp(i1x, u0, v0, True)
+        i1wy = bicubic_warp(i1y, u0, v0, True)
+        grad, rho_c = warp_constants(i0, i1w, i1wx, i1wy, u0, v0)
+        from faldoi_tpu.ops import divergence, forward_gradient
+
+        xi = [jnp.zeros_like(u0) for _ in range(4)]
+
+        def body(_, st):
+            u1, u2, u1_, u2_, xi11, xi12, xi21, xi22 = st
+            v1, v2 = tvl1_threshold(u1, u2, rho_c, i1wx, i1wy, grad, l_t)
+            u1x, u1y = forward_gradient(u1_)
+            u2x, u2y = forward_gradient(u2_)
+            xi11, xi12, xi21, xi22 = tvl2_getD(
+                xi11, xi12, xi21, xi22, u1x, u1y, u2x, u2y, 0.125
+            )
+            d1 = divergence(xi11, xi12)
+            d2 = divergence(xi21, xi22)
+            nu1, nu2, _ = tvl2_getP(u1, u2, v1, v2, d1, d2, 0.3, 0.125)
+            return (nu1, nu2, 2 * nu1 - u1, 2 * nu2 - u2,
+                    xi11, xi12, xi21, xi22)
+
+        st = (u0, v0, u0, v0, *xi)
+        st = jax.lax.fori_loop(0, 20, body, st)
+        return jnp.stack([st[0], st[1]], axis=-1)
+
+    fn = jax.jit(jax.vmap(one), in_shardings=(sh, sh, sh), out_shardings=sh)
+    return fn(batch_i0, batch_i1, batch_seeds)

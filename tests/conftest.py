@@ -1,9 +1,14 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so the
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+Note: this host's sitecustomize force-registers the 'axon' TPU backend
+whenever PALLAS_AXON_POOL_IPS is set (its register() overrides
+JAX_PLATFORMS), so we clear it before anything imports jax."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
