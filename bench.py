@@ -45,6 +45,9 @@ def main():
     bsz = int(os.environ.get("FALDOI_BENCH_BSZ", "8192"))
     mode = os.environ.get("FALDOI_BENCH_MODE", "chunked")
     repeats = int(os.environ.get("FALDOI_BENCH_REPEATS", "1"))
+    # Delta-stepping band: 0.05 reproduces the serial priority order's
+    # accuracy at large batch sizes (see core/local_step.py)
+    delta = float(os.environ.get("FALDOI_BENCH_DELTA", "0.05"))
 
     i0 = read_image_split(BASE + "frame_0002.png")
     i1 = read_image_split(BASE + "frame_0003.png")
@@ -59,7 +62,8 @@ def main():
     prm.epsilon = P.FB_TOL
 
     def pipeline():
-        flow, ene, _occ = match_growing(go, ba, a, b, prm, bsz=bsz, mode=mode)
+        flow, ene, _occ = match_growing(go, ba, a, b, prm, bsz=bsz, mode=mode,
+                                        delta=delta)
         u1, u2 = tvl2_global(
             a, b, jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1])
         )

@@ -182,6 +182,10 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
         v1, v2 = st[8], st[9]
 
     # eval (tvl2_model.cpp:174-243 / tvl2w_model.cpp:227)
+    u1 = jnp.where(inbox, u1, 0.0)
+    u2 = jnp.where(inbox, u2, 0.0)
+    v1 = jnp.where(inbox, v1, 0.0)
+    v2 = jnp.where(inbox, v2, 0.0)
     u1x, u1y = forward_gradient_patch(u1, ph, pw)
     u2x, u2y = forward_gradient_patch(u2, ph, pw)
     i1w, _, _ = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
@@ -314,7 +318,7 @@ def _solve_nltv_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     sc_p = jnp.zeros((len(NLTV_OFFS), p, p), u1.dtype)
     sc_q = jnp.zeros_like(sc_p)
     v1, v2 = u1, u2
-    npx = (ph * pw).astype(u1.dtype)
+    npx = jnp.asarray(ph * pw, u1.dtype)
 
     for _ in range(warps):
         i1w, i1wx, i1wy = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
@@ -344,7 +348,12 @@ def _solve_nltv_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
         st = jax.lax.while_loop(cond, body, st)
         u1, u2, _, _, sc_p, sc_q, v1, v2 = st[:8]
 
-    # eval (nltv_model.cpp:69-156)
+    # eval (nltv_model.cpp:69-156); out-of-box canvas cells can hold
+    # inf/junk — zero them before the shift-based regulariser (0*inf=NaN)
+    u1 = jnp.where(inbox, u1, 0.0)
+    u2 = jnp.where(inbox, u2, 0.0)
+    v1 = jnp.where(inbox, v1, 0.0)
+    v2 = jnp.where(inbox, v2, 0.0)
     i1w, _, _ = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
     dt = sc.lambda_ * jnp.abs(i1w - i0_patch) * (w2d if weighted else 1.0)
     dc = (1.0 / (2.0 * sc.theta)) * ((u1 - v1) ** 2 + (u2 - v2) ** 2)
@@ -387,7 +396,7 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     else:
         reg_state = tuple(jnp.zeros_like(u1) for _ in range(4))
     v1, v2 = u1, u2
-    npx = (ph * pw).astype(u1.dtype)
+    npx = jnp.asarray(ph * pw, u1.dtype)
 
     for _ in range(warps):
         i1w, i1wx, i1wy = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
@@ -437,7 +446,12 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
         st = jax.lax.while_loop(cond, body, st)
         u1, u2, _, _, reg_state, v1, v2 = st[:7]
 
-    # eval (tvcsad_model.cpp:87-175 / nltvcsad analogues)
+    # eval (tvcsad_model.cpp:87-175 / nltvcsad analogues); sanitize
+    # out-of-box cells first (0*inf = NaN through the shifts)
+    u1 = jnp.where(inbox, u1, 0.0)
+    u2 = jnp.where(inbox, u2, 0.0)
+    v1 = jnp.where(inbox, v1, 0.0)
+    v2 = jnp.where(inbox, v2, 0.0)
     i1w, _, _ = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
     dt = jnp.zeros_like(u1)
     for j, (dy, dx) in enumerate(CSAD_OFFS):
