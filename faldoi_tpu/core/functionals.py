@@ -209,11 +209,14 @@ def _nltv_crop_weights(sc: SolverConsts, oy, ox, p, rows, cols, ph, pw):
     wp_full = jax.lax.dynamic_slice(
         sc.wp_pad, (0, oy, ox), (len(NLTV_OFFS), p, p)
     )
+    inbox = (rows < ph) & (cols < pw)
     masks = []
     for (dy, dx) in NLTV_OFFS:
         nb_r = rows + dy
         nb_c = cols + dx
-        masks.append((nb_r >= 0) & (nb_r < ph) & (nb_c >= 0) & (nb_c < pw))
+        masks.append(
+            inbox & (nb_r >= 0) & (nb_r < ph) & (nb_c >= 0) & (nb_c < pw)
+        )
     mask = jnp.stack(masks)
     wp = jnp.where(mask, wp_full, 0.0)
     wt = jnp.maximum(wp.sum(axis=0), 1e-30)
