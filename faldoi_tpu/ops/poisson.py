@@ -36,6 +36,8 @@ import jax.numpy as jnp
 def _level_sizes(p: int, scale: int):
     sizes = [p]
     for _ in range(scale - 1):
+        if sizes[-1] == 1:
+            break  # 1x1 levels are exact no-ops (clamped laplacian = 0)
         sizes.append(max(1, math.ceil(sizes[-1] / 2)))
     return sizes
 

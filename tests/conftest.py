@@ -1,16 +1,21 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so the
 multi-chip sharding paths are exercised without TPU hardware.
 
-Note: this host's sitecustomize force-registers the 'axon' TPU backend
-whenever PALLAS_AXON_POOL_IPS is set (its register() overrides
-JAX_PLATFORMS), so we clear it before anything imports jax."""
+This host's sitecustomize force-registers the 'axon' TPU backend at
+interpreter startup (before conftest), and its register() overrides
+JAX_PLATFORMS — so env vars alone are not enough: we must flip the config
+after import but before any backend initialises, or tests silently run on
+(and sometimes block forever against) the tunneled TPU."""
 
 import os
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
