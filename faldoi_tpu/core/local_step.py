@@ -173,7 +173,11 @@ def _sweep_body(
     neg_e, idx = jax.lax.top_k(-eligible, bsz)
     valid = jnp.isfinite(neg_e)
     e_min = -neg_e[0]
-    valid = valid & (-neg_e <= e_min + delta)
+    # Delta band with a floor: always take at least bsz//16 of the best
+    # candidates so the sweep count stays bounded (top_k output is sorted,
+    # so the first ranks ARE the lowest energies).
+    rank = jnp.arange(bsz)
+    valid = valid & ((-neg_e <= e_min + delta) | (rank < max(bsz // 16, 1)))
     idx_s = jnp.where(valid, idx, dump)
     n_acc = valid.sum()
 
@@ -503,6 +507,7 @@ class LocalSolver:
                  warps=1, max_iters=4, seed_bsz=2048,
                  mode="fused", delta=float("inf"), chunk=16, fused=None,
                  fill="patch"):
+        bsz = min(bsz, h * w)
         self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
         self.seed_bsz = seed_bsz
         self.solver = solver

@@ -79,10 +79,10 @@ def match_growing(
     bsz: int = 4096,
     verbose: bool = False,
     mode: str = "fused",
-    delta: float = float("inf"),
+    delta: float = 0.05,
     chunk: int = 16,
     fused=None,
-    fill: str = "patch",
+    fill: str = "dense",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
     h, w = i0n.shape
