@@ -30,19 +30,31 @@ BASE = "/root/reference/example_data/clean/easy/"
 GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/golden/")
 
 
+def _tpu_alive(timeout_s: int = 180) -> bool:
+    """Probe the TPU backend in a subprocess — a wedged tunnel makes
+    jax.devices() block forever in-process, so never probe it here."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import numpy as np
     import jax
 
-    # Fall back to CPU if the TPU backend is unreachable (tunnel down) so
-    # the bench always emits its JSON line.
-    try:
-        dev = jax.devices()[0]
-        print(f"# device: {dev}", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"# TPU backend unavailable ({e}); falling back to CPU",
-              file=sys.stderr)
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not _tpu_alive():
+        print("# TPU backend unreachable; falling back to CPU", file=sys.stderr)
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         jax.config.update("jax_platforms", "cpu")
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
 
     import jax.numpy as jnp
 

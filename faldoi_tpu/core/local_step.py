@@ -242,15 +242,19 @@ def _sweep_body(
         return (jnp.where(inbox, u0, 0.0), jnp.where(inbox, v0, 0.0),
                 jnp.where(inbox, c0, 0.0))
 
-    u_init, v_init, c_init = jax.vmap(build_init)(oy, ox, ph, pw)
+    # lane-major batch layout: canvases are (P, P, B) so the batch fills
+    # the 128-wide vector lanes (a (B, 11, 11) layout wastes ~96% of each
+    # tile on TPU)
+    u_init, v_init, c_init = jax.vmap(build_init, out_axes=-1)(oy, ox, ph, pw)
 
     # --- batched patch PD solve (of_estimation dispatcher)
     def solve(i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0):
         return solver(sconsts, i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0,
                       p, warps, max_iters, wr)
 
-    su, sv, schi, ener = jax.vmap(solve)(i, j, oy, ox, ph, pw,
-                                         u_init, v_init, c_init)
+    su, sv, schi, ener = jax.vmap(
+        solve, in_axes=(0, 0, 0, 0, 0, 0, -1, -1, -1), out_axes=(-1, -1, -1, 0)
+    )(i, j, oy, ox, ph, pw, u_init, v_init, c_init)
 
     cy = j - oy
     cx = i - ox
@@ -271,9 +275,9 @@ def _sweep_body(
         inb = (qi >= 0) & (qi < w) & (qj >= 0) & (qj < h) & valid
         q = jnp.where(inb, qj * w + qi, dump)
         new_e = ener * sal[q]
-        nu = su[bidx, cy + dy, cx + dx]
-        nv = sv[bidx, cy + dy, cx + dx]
-        nc = schi[bidx, cy + dy, cx + dx]
+        nu = su[cy + dy, cx + dx, bidx]
+        nv = sv[cy + dy, cx + dx, bidx]
+        nc = schi[cy + dy, cx + dx, bidx]
         ok = inb & ~fixed[q] & (new_e < cand_e[q])
         cand_e, cand_u, cand_v, cand_chi = _scatter_min_payload(
             cand_e, cand_u, cand_v, cand_chi, q, new_e, nu, nv, nc, ok, dump
@@ -286,9 +290,9 @@ def _sweep_body(
 
     # --- centre update (add_neighbors :718-726), after donations so the
     # comparison target matches the serial pop value
-    s_cu = su[bidx, cy, cx]
-    s_cv = sv[bidx, cy, cx]
-    s_cc = schi[bidx, cy, cx]
+    s_cu = su[cy, cx, bidx]
+    s_cv = sv[cy, cx, bidx]
+    s_cc = schi[cy, cx, bidx]
     better = valid & (ener < ene[idx_s])
     upd = jnp.where(better, idx, dump)
     out_u = out_u.at[upd].set(s_cu)
@@ -297,12 +301,14 @@ def _sweep_body(
     ene = ene.at[upd].set(jnp.where(better, ener, jnp.inf))
 
     # --- persistent working-flow scatter (max-energy wins == later-pop wins)
-    gy = oy[:, None, None] + rows[None]
-    gx = ox[:, None, None] + cols[None]
-    inbox = (rows[None] < ph[:, None, None]) & (cols[None] < pw[:, None, None])
-    cell_ok = inbox & valid[:, None, None]
+    gy = oy[None, None, :] + rows[..., None]
+    gx = ox[None, None, :] + cols[..., None]
+    inbox = (rows[..., None] < ph[None, None, :]) & (
+        cols[..., None] < pw[None, None, :]
+    )
+    cell_ok = inbox & valid[None, None, :]
     flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
-    key = jnp.broadcast_to(ener[:, None, None], su.shape).reshape(-1)
+    key = jnp.broadcast_to(ener[None, None, :], su.shape).reshape(-1)
     key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
     wu, wv, wchi = _scatter_max_payload(
         key_buf, state.wu, state.wv, state.wchi, flat_q, key,
@@ -454,15 +460,18 @@ def seed_batch(
         fv = poisson_fill_canvas(jnp.where(is_center, v_k, jnp.nan), ph_k, pw_k)
         return jnp.where(inbox, fu, 0.0), jnp.where(inbox, fv, 0.0)
 
-    u_init, v_init = jax.vmap(build_init)(oy, ox, ph, pw, j, i, seed_u, seed_v)
+    u_init, v_init = jax.vmap(build_init, out_axes=-1)(
+        oy, ox, ph, pw, j, i, seed_u, seed_v
+    )
     c_init = jnp.zeros_like(u_init)
 
     def solve(i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0):
         return solver(sconsts, i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0,
                       p, warps, max_iters, 1)
 
-    su, sv, schi, ener = jax.vmap(solve)(i, j, oy, ox, ph, pw,
-                                         u_init, v_init, c_init)
+    su, sv, schi, ener = jax.vmap(
+        solve, in_axes=(0, 0, 0, 0, 0, 0, -1, -1, -1), out_axes=(-1, -1, -1, 0)
+    )(i, j, oy, ox, ph, pw, u_init, v_init, c_init)
 
     cy = j - oy
     cx = i - ox
@@ -483,12 +492,14 @@ def seed_batch(
             cand_e, cand_u, cand_v, cand_chi, q, new_e, nu, nv, nc, ok, dump
         )
 
-    gy = oy[:, None, None] + rows[None]
-    gx = ox[:, None, None] + cols[None]
-    inbox = (rows[None] < ph[:, None, None]) & (cols[None] < pw[:, None, None])
-    cell_ok = inbox & seed_valid[:, None, None]
+    gy = oy[None, None, :] + rows[..., None]
+    gx = ox[None, None, :] + cols[..., None]
+    inbox = (rows[..., None] < ph[None, None, :]) & (
+        cols[..., None] < pw[None, None, :]
+    )
+    cell_ok = inbox & seed_valid[None, None, :]
     flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
-    key = jnp.broadcast_to(ener[:, None, None], su.shape).reshape(-1)
+    key = jnp.broadcast_to(ener[None, None, :], su.shape).reshape(-1)
     key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
     wu, wv, wchi = _scatter_max_payload(
         key_buf, state.wu, state.wv, state.wchi, flat_q, key,
