@@ -47,8 +47,10 @@ def _runnable(path):
     if not os.path.isfile(path):
         return False
     try:
-        subprocess.run([path], capture_output=True, timeout=10)
-        return True
+        r = subprocess.run([path], capture_output=True, timeout=10)
+        # 126/127: loader/permission failures (e.g. the vendored binaries
+        # need libpng12 / newer ISAs than this host provides)
+        return r.returncode not in (126, 127)
     except (OSError, subprocess.TimeoutExpired):
         return False
 
