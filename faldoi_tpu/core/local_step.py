@@ -562,9 +562,16 @@ class LocalSolver:
         return state
 
     def grow(self, state: GrowState, sconsts, trust, sal, iteration,
-             max_sweeps=100000) -> GrowState:
-        """Run sweeps until the candidate queue is empty."""
+             max_sweeps=100000, snapshot_cb=None) -> GrowState:
+        """Run sweeps until the candidate queue is empty.
+
+        snapshot_cb(state, fixed_fraction) is invoked at sync points in the
+        step/chunked modes — the partial-results hook (the reference dumps
+        growing snapshots at 30/70/80/95/100%, local_faldoi.cpp:944-1036).
+        """
         it = jnp.asarray(iteration, jnp.int32)
+        if snapshot_cb is not None and self.mode == "fused":
+            self.mode = "chunked"  # snapshots need host sync points
         if self.mode == "fused":
             state, _sweeps = grow_to_completion(
                 state, self.solver, sconsts, trust, sal, it,
@@ -579,6 +586,10 @@ class LocalSolver:
                     self.h, self.w, self.wr, self.bsz, delta=self.delta,
                     chunk=self.chunk, fill=self.fill, **self.kw
                 )
+                if snapshot_cb is not None:
+                    n = self.h * self.w
+                    frac = float(state.fixed[:n].sum()) / n
+                    snapshot_cb(state, frac)
                 if int(n_acc) == 0:
                     break
             return state

@@ -11,6 +11,7 @@ run the two directions back-to-back per iteration.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -167,8 +168,30 @@ def match_growing(
     trust_all = jnp.ones((n + 1,), jnp.int32)
     trust_go, trust_ba = trust_all, trust_all
 
+    snapshot_cb = None
+    if prm.part_res:
+        import faldoi_tpu.io as fio
+
+        os.makedirs("partial_results", exist_ok=True)
+        marks = {}
+
+        def snapshot_cb(state, frac, _marks=marks):
+            # reference thresholds (local_faldoi.cpp:895): 30/70/80/95%
+            it = _marks.get("it", 0)
+            for pct in (30, 70, 80, 95):
+                key = (it, pct)
+                if frac * 100 >= pct and key not in _marks:
+                    _marks[key] = True
+                    fio.write_flo(
+                        f"partial_results/partial_fwd_{pct}_iter_{it}.flo",
+                        _flow2d(state, h, w),
+                    )
+
     for it in range(prm.iterations_of):
-        st_go = ls.grow(st_go, sc_go, trust_go, sal_g, it)
+        if snapshot_cb is not None:
+            marks["it"] = it
+        st_go = ls.grow(st_go, sc_go, trust_go, sal_g, it,
+                        snapshot_cb=snapshot_cb)
         st_ba = ls.grow(st_ba, sc_ba, trust_ba, sal_b, it)
         jax.block_until_ready(st_ba)
         t = tick(f"growings it={it}", t)
@@ -191,7 +214,10 @@ def match_growing(
         t = tick(f"prune+requeue it={it}", t)
 
     # final forward-only growing (local_faldoi.cpp:1636-1712)
-    st_go = ls.grow(st_go, sc_go, trust_go, sal_g, prm.iterations_of)
+    if snapshot_cb is not None:
+        marks["it"] = prm.iterations_of
+    st_go = ls.grow(st_go, sc_go, trust_go, sal_g, prm.iterations_of,
+                    snapshot_cb=snapshot_cb)
     jax.block_until_ready(st_go)
     t = tick("final growing", t)
 
