@@ -570,6 +570,7 @@ class LocalSolver:
         growing snapshots at 30/70/80/95/100%, local_faldoi.cpp:944-1036).
         """
         it = jnp.asarray(iteration, jnp.int32)
+        self.last_sweeps = 0
         if snapshot_cb is not None and self.mode == "fused":
             self.mode = "chunked"  # snapshots need host sync points
         if self.mode == "fused":
@@ -578,6 +579,7 @@ class LocalSolver:
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, **self.kw
             )
+            self.last_sweeps = int(_sweeps)
             return state
         if self.mode == "chunked":
             for _ in range(max_sweeps):
@@ -586,6 +588,7 @@ class LocalSolver:
                     self.h, self.w, self.wr, self.bsz, delta=self.delta,
                     chunk=self.chunk, fill=self.fill, **self.kw
                 )
+                self.last_sweeps += self.chunk
                 if snapshot_cb is not None:
                     n = self.h * self.w
                     frac = float(state.fixed[:n].sum()) / n
@@ -604,6 +607,7 @@ class LocalSolver:
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, **self.kw
             )
+            self.last_sweeps = i + 1
             if (i + 1) % k == 0 and int(n_acc) == 0:
                 break
         return state

@@ -192,9 +192,10 @@ def match_growing(
             marks["it"] = it
         st_go = ls.grow(st_go, sc_go, trust_go, sal_g, it,
                         snapshot_cb=snapshot_cb)
+        sw_go = ls.last_sweeps
         st_ba = ls.grow(st_ba, sc_ba, trust_ba, sal_b, it)
         jax.block_until_ready(st_ba)
-        t = tick(f"growings it={it}", t)
+        t = tick(f"growings it={it} (sweeps fwd={sw_go} bwd={ls.last_sweeps})", t)
 
         fwd = _flow2d(st_go, h, w)
         bwd = _flow2d(st_ba, h, w)
