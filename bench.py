@@ -73,7 +73,8 @@ def main():
     repeats = int(os.environ.get("FALDOI_BENCH_REPEATS", "1"))
     # Delta-stepping band: 0.05 reproduces the serial priority order's
     # accuracy at large batch sizes (see core/local_step.py)
-    delta = float(os.environ.get("FALDOI_BENCH_DELTA", "0.05"))
+    delta = float(os.environ.get("FALDOI_BENCH_DELTA", "inf"))
+    relax = os.environ.get("FALDOI_BENCH_RELAX", "1") == "1"
 
     i0 = read_image_split(BASE + "frame_0002.png")
     i1 = read_image_split(BASE + "frame_0003.png")
@@ -98,10 +99,16 @@ def main():
     prm.epsilon = P.FB_TOL
 
     fill = os.environ.get("FALDOI_BENCH_FILL", "dense")
+    floor = os.environ.get("FALDOI_BENCH_FLOOR")
+    floor = int(floor) if floor else None
+
+    last_rg = {}
 
     def pipeline():
         flow, ene, _occ = match_growing(go, ba, a, b, prm, bsz=bsz, mode=mode,
-                                        delta=delta, fill=fill)
+                                        delta=delta, fill=fill, floor=floor,
+                                        relax=relax)
+        last_rg["flow"] = flow
         u1, u2 = tvl2_global(
             a, b, jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1])
         )
@@ -132,6 +139,15 @@ def main():
                      out[..., 1] - ref_var[..., 1]).mean()
         )
         print(f"# EPE vs reference pipeline output: {epe_ref:.4f}",
+              file=sys.stderr)
+        ref_rg = read_flo(GOLD + "deep_rg.flo")
+        rg = last_rg["flow"]
+        fin = np.isfinite(rg[..., 0]) & np.isfinite(ref_rg[..., 0])
+        epe_rg = float(
+            np.hypot(rg[..., 0] - ref_rg[..., 0],
+                     rg[..., 1] - ref_rg[..., 1])[fin].mean()
+        )
+        print(f"# rg-level EPE vs reference local step: {epe_rg:.4f}",
               file=sys.stderr)
     except FileNotFoundError:
         pass

@@ -31,18 +31,24 @@ Reference-semantics notes:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from faldoi_tpu.ops.bicubic import bicubic_interp_at
+from faldoi_tpu.ops.bicubic import bicubic_interp_at, bicubic_window_sample
 from faldoi_tpu.ops.stencils import divergence_patch, forward_gradient_patch
 from faldoi_tpu.ops.nonlocal_ops import neighbor_offsets
 from faldoi_tpu.core.pd_common import tvl2_getD, tvl2_getP
 from faldoi_tpu.params import DT_R, GRAD_IS_ZERO, NL_BETA
 from faldoi_tpu import params as P
+
+# Window size for the MXU patch warp: the 11x11 patch plus the intra-patch
+# flow spread must fit in a WARP_WIN-4 square (see bicubic_window_sample).
+# 32 tolerates ~17px of flow discontinuity inside one patch.
+WARP_WIN = int(os.environ.get("FALDOI_WARP_WIN", "32"))
 
 
 class SolverConsts(NamedTuple):
@@ -52,6 +58,8 @@ class SolverConsts(NamedTuple):
     i1: jnp.ndarray              # full target frame
     i1x: jnp.ndarray
     i1y: jnp.ndarray
+    i1_stack: jnp.ndarray        # (3, h, w) stacked (i1, i1x, i1y) for the
+                                 # windowed MXU warp (see ops.bicubic)
     lambda_: jnp.ndarray         # scalars (traced)
     theta: jnp.ndarray
     tau: jnp.ndarray
@@ -71,6 +79,7 @@ def make_solver_consts(method, i0pad, i1, i1x, i1y, lam, theta, tau, tol,
     """Build SolverConsts for a growing direction."""
     kw = dict(
         i0pad=i0pad, i1=i1, i1x=i1x, i1y=i1y,
+        i1_stack=jnp.stack([i1, i1x, i1y]),
         lambda_=jnp.float32(lam), theta=jnp.float32(theta),
         tau=jnp.float32(tau), tol=jnp.float32(tol),
     )
@@ -100,14 +109,24 @@ def _canvas_setup(p, oy, ox, ph, pw, dtype):
     return rows, cols, inbox, gx, gy
 
 
-def _warp3(i1, i1x, i1y, gx, gy, u1, u2, inbox):
+def _warp3(i1_stack, gx, gy, u1, u2, inbox):
+    """Warp (i1, i1x, i1y) at the patch cells' displaced positions — one
+    windowed MXU sample of the stacked planes (the canvas cells of a patch
+    are spatially coherent, so they share one window; see
+    ops.bicubic.bicubic_window_sample)."""
     su = jnp.where(inbox, u1, 0.0)
     sv = jnp.where(inbox, u2, 0.0)
-    return (
-        bicubic_interp_at(i1, gx + su, gy + sv, False),
-        bicubic_interp_at(i1x, gx + su, gy + sv, False),
-        bicubic_interp_at(i1y, gx + su, gy + sv, False),
-    )
+    w = bicubic_window_sample(i1_stack, gx + su, gy + sv, False,
+                              win=WARP_WIN)
+    return w[0], w[1], w[2]
+
+
+def _warp1(i1_stack, gx, gy, u1, u2, inbox):
+    """Warp only i1 (the energy eval needs no derivatives)."""
+    su = jnp.where(inbox, u1, 0.0)
+    sv = jnp.where(inbox, u2, 0.0)
+    return bicubic_window_sample(i1_stack[:1], gx + su, gy + sv, False,
+                                 win=WARP_WIN)[0]
 
 
 def _weight2d(w1d, rows, cols, oy, ox, cj, ci, wr):
@@ -152,7 +171,7 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     v1, v2 = u1, u2
 
     for _ in range(warps):
-        i1w, i1wx, i1wy = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
+        i1w, i1wx, i1wy = _warp3(sc.i1_stack, gx, gy, u1, u2, inbox)
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1 - i1wy * u2 - i0_patch
 
@@ -188,7 +207,7 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     v2 = jnp.where(inbox, v2, 0.0)
     u1x, u1y = forward_gradient_patch(u1, ph, pw)
     u2x, u2y = forward_gradient_patch(u2, ph, pw)
-    i1w, _, _ = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
+    i1w = _warp1(sc.i1_stack, gx, gy, u1, u2, inbox)
     dt = sc.lambda_ * jnp.abs(i1w - i0_patch) * (w2d if weighted else 1.0)
     dc = (1.0 / (2.0 * sc.theta)) * ((u1 - v1) ** 2 + (u2 - v2) ** 2)
     g = jnp.sqrt(u1x * u1x + u1y * u1y + u2x * u2x + u2y * u2y)
@@ -324,7 +343,7 @@ def _solve_nltv_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     npx = jnp.asarray(ph * pw, u1.dtype)
 
     for _ in range(warps):
-        i1w, i1wx, i1wy = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
+        i1w, i1wx, i1wy = _warp3(sc.i1_stack, gx, gy, u1, u2, inbox)
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1 - i1wy * u2 - i0_patch
 
@@ -357,7 +376,7 @@ def _solve_nltv_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     u2 = jnp.where(inbox, u2, 0.0)
     v1 = jnp.where(inbox, v1, 0.0)
     v2 = jnp.where(inbox, v2, 0.0)
-    i1w, _, _ = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
+    i1w = _warp1(sc.i1_stack, gx, gy, u1, u2, inbox)
     dt = sc.lambda_ * jnp.abs(i1w - i0_patch) * (w2d if weighted else 1.0)
     dc = (1.0 / (2.0 * sc.theta)) * ((u1 - v1) ** 2 + (u2 - v2) ** 2)
     g = jnp.zeros_like(u1)
@@ -402,7 +421,7 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     npx = jnp.asarray(ph * pw, u1.dtype)
 
     for _ in range(warps):
-        i1w, i1wx, i1wy = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
+        i1w, i1wx, i1wy = _warp3(sc.i1_stack, gx, gy, u1, u2, inbox)
         grad = jnp.hypot(i1wx * i1wx + i1wy * i1wy, 0.01)  # tvcsad_model.cpp:361
         b = _csad_b(i0_patch, i1w, i1wx, i1wy, u1, u2, grad, masks)
 
@@ -455,7 +474,7 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     u2 = jnp.where(inbox, u2, 0.0)
     v1 = jnp.where(inbox, v1, 0.0)
     v2 = jnp.where(inbox, v2, 0.0)
-    i1w, _, _ = _warp3(sc.i1, sc.i1x, sc.i1y, gx, gy, u1, u2, inbox)
+    i1w = _warp1(sc.i1_stack, gx, gy, u1, u2, inbox)
     dt = jnp.zeros_like(u1)
     for j, (dy, dx) in enumerate(CSAD_OFFS):
         i0n = _shift_canvas(i0_patch, dy, dx)

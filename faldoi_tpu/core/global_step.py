@@ -34,6 +34,7 @@ from faldoi_tpu.ops import (
     divergence,
     forward_gradient,
 )
+from faldoi_tpu.ops.bicubic import bicubic_warp_stack
 from faldoi_tpu.core.pd_common import (
     tvl1_threshold,
     tvl2_getD,
@@ -63,6 +64,7 @@ def tvl2_global(
     """
     l_t = lambda_ * theta
     i1x, i1y = centered_gradient(i1)
+    i1_stack = jnp.stack([i1, i1x, i1y])
 
     xi11 = jnp.zeros_like(u1)
     xi12 = jnp.zeros_like(u1)
@@ -91,9 +93,7 @@ def tvl2_global(
         return jnp.logical_and(err > tol * tol, n < max_iters)
 
     for _ in range(warps):
-        i1w = bicubic_warp(i1, u1, u2, True)
-        i1wx = bicubic_warp(i1x, u1, u2, True)
-        i1wy = bicubic_warp(i1y, u1, u2, True)
+        i1w, i1wx, i1wy = bicubic_warp_stack(i1_stack, u1, u2, True)
         grad, rho_c = warp_constants(i0, i1w, i1wx, i1wy, u1, u2)
         consts = (i1w, i1wx, i1wy, grad, rho_c)
         state = (

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from faldoi_tpu.ops import bicubic_warp, centered_gradient, divergence, forward_gradient
+from faldoi_tpu.ops.bicubic import bicubic_warp_stack
 from faldoi_tpu.ops.nonlocal_ops import (
     neighbor_offsets,
     nltv_weights,
@@ -97,9 +98,8 @@ def _tvcsad_jit(i0, i1, u1, u2, masks, ncount, offs, lambda_, theta, tau,
     xi22 = jnp.zeros_like(u1)
 
     for _ in range(warps):
-        i1w = bicubic_warp(i1, u1, u2, True)
-        i1wx = bicubic_warp(i1x, u1, u2, True)
-        i1wy = bicubic_warp(i1y, u1, u2, True)
+        i1w, i1wx, i1wy = bicubic_warp_stack(jnp.stack([i1, i1x, i1y]),
+                                             u1, u2, True)
         grad = jnp.hypot(i1wx * i1wx + i1wy * i1wy, 0.01)  # :1519
         b = _csad_b(i0, i1w, i1wx, i1wy, u1, u2, grad, offs, masks)
 
@@ -155,9 +155,8 @@ def _nltvcsad_jit(i0, i1, u1, u2, masks, ncount, wp, wt, offs_dt, offs_nl,
     sc_q = jnp.zeros_like(sc_p)
 
     for _ in range(warps):
-        i1w = bicubic_warp(i1, u1, u2, True)
-        i1wx = bicubic_warp(i1x, u1, u2, True)
-        i1wy = bicubic_warp(i1y, u1, u2, True)
+        i1w, i1wx, i1wy = bicubic_warp_stack(jnp.stack([i1, i1x, i1y]),
+                                             u1, u2, True)
         grad = i1wx * i1wx + i1wy * i1wy
         gok = grad > GRAD_IS_ZERO
         sq = jnp.sqrt(jnp.where(gok, grad, 1.0))

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from faldoi_tpu.ops import bicubic_warp, centered_gradient
+from faldoi_tpu.ops.bicubic import bicubic_warp_stack
 from faldoi_tpu.ops.nonlocal_ops import (
     neighbor_offsets,
     nltv_weights,
@@ -40,9 +41,8 @@ def _nltvl1_jit(i0, i1, u1, u2, wp, wt, offs, lambda_, theta, tau,
     sc_q = jnp.zeros_like(sc_p)
 
     for _ in range(warps):
-        i1w = bicubic_warp(i1, u1, u2, True)
-        i1wx = bicubic_warp(i1x, u1, u2, True)
-        i1wy = bicubic_warp(i1y, u1, u2, True)
+        i1w, i1wx, i1wy = bicubic_warp_stack(jnp.stack([i1, i1x, i1y]),
+                                             u1, u2, True)
         grad, rho_c = warp_constants(i0, i1w, i1wx, i1wy, u1, u2)
 
         def body(_, st):

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from faldoi_tpu.ops.poisson import poisson_fill_canvas
-from faldoi_tpu.core.patch_solver import _solve_one, crop_padded, pad_for_crops
+from faldoi_tpu.core.patch_solver import crop_padded, pad_for_crops
 from faldoi_tpu.core.functionals import SolverConsts, solve_tvl1
 from faldoi_tpu.ops.stencils import _rowcol_ids
 
@@ -82,6 +82,11 @@ def init_state(h: int, w: int) -> GrowState:
         cand_chi=z,
         wchi=z,
     )
+
+
+# Sort-key bias making re-claims rank after all frontier candidates in the
+# top-k cut (energies are patch means of O(1) quantities; 1e6 dominates).
+RECLAIM_BIAS = 1.0e6
 
 
 def _patch_geometry(idx, h, w, wr):
@@ -154,30 +159,56 @@ def _dense_fill(fixed2d, out2d, iters=16):
 
 def _sweep_body(
     state: GrowState,
-    solver, sconsts, trust2d_pad, sal, iteration,
+    solver, sconsts, trust2d, sal, iteration,
     h, w, wr, bsz, warps, max_iters,
-    delta=jnp.inf, fill="patch",
+    delta=jnp.inf, fill="patch", floor=None, relax=True,
+    relax_margin=0.95,
 ):
     """One wavefront sweep. Returns (state, n_accepted).
 
     ``delta`` is the Delta-stepping band: only candidates within ``delta`` of
     the sweep's minimum energy are accepted (plus the top-bsz cut).  A tight
     band tracks the reference's strict priority order more closely at the
-    cost of more sweeps; inf = pure top-k batching.
+    cost of more sweeps; inf = pure top-k batching.  ``floor`` (default
+    bsz//16) guarantees a minimum acceptance per sweep regardless of the
+    band — it bounds the sweep count at n/floor; floor=bsz accepts the whole
+    top-k batch (every solved patch is used, no throttling).
     """
     n = h * w
     dump = n
     p = 2 * wr + 1
 
-    eligible = jnp.where(state.fixed[:n], jnp.inf, state.cand_e[:n])
+    if relax:
+        # LABEL-CORRECTING RELAXATION (Bellman-Ford where the reference's
+        # heap is Dijkstra): every front advances every sweep, and a FIXED
+        # pixel is re-popped when a strictly lower-energy claim arrives
+        # (relative margin bounds the tail).  The serial pop order is an
+        # arbitration rule between competing fronts — "lowest energy claim
+        # wins"; relaxation converges to that same winner without the
+        # global ordering, so the sweep count tracks the frontier advance
+        # (~distance-to-seed) instead of n/batch.
+        improving = state.cand_e[:n] < state.ene[:n] * relax_margin - 1e-6
+        # frontier-first: unfixed candidates (true new ground) outrank
+        # re-claims in the top-k cut, so improvement churn never starves
+        # the advancing front
+        key = jnp.where(state.fixed[:n], state.cand_e[:n] + RECLAIM_BIAS,
+                        state.cand_e[:n])
+        eligible = jnp.where(improving, key, jnp.inf)
+    else:
+        eligible = jnp.where(state.fixed[:n], jnp.inf, state.cand_e[:n])
     neg_e, idx = jax.lax.top_k(-eligible, bsz)
     valid = jnp.isfinite(neg_e)
-    e_min = -neg_e[0]
-    # Delta band with a floor: always take at least bsz//16 of the best
-    # candidates so the sweep count stays bounded (top_k output is sorted,
-    # so the first ranks ARE the lowest energies).
+    e_pop = -neg_e
+    # GLOBAL delta band: accept candidates within ``delta`` of the sweep's
+    # minimum eligible energy (the parity-validated approximation of the
+    # serial heap's strict order), plus a rank floor that bounds the sweep
+    # count (top_k output is sorted, so the first ranks ARE the lowest
+    # energies).
+    if floor is None:
+        floor = bsz // 16
     rank = jnp.arange(bsz)
-    valid = valid & ((-neg_e <= e_min + delta) | (rank < max(bsz // 16, 1)))
+    e_min = e_pop[0]
+    valid = valid & ((e_pop <= e_min + delta) | (rank < max(floor, 1)))
     idx_s = jnp.where(valid, idx, dump)
     n_acc = valid.sum()
 
@@ -195,38 +226,41 @@ def _sweep_body(
     ene = state.ene.at[idx_s].set(pop_e)
     cand_e = state.cand_e.at[idx_s].set(jnp.inf)
 
-    fx_pad = pad_for_crops(fixed[:n].reshape(h, w), p)
-    ou_pad = pad_for_crops(out_u[:n].reshape(h, w), p)
-    ov_pad = pad_for_crops(out_v[:n].reshape(h, w), p)
-    oc_pad = pad_for_crops(out_chi[:n].reshape(h, w), p)
-    wu_pad = pad_for_crops(state.wu[:n].reshape(h, w), p)
-    wv_pad = pad_for_crops(state.wv[:n].reshape(h, w), p)
-    wc_pad = pad_for_crops(state.wchi[:n].reshape(h, w), p)
-
     rows, cols = _rowcol_ids((p, p))
 
     # --- per-patch init (add_neighbors :688-705)
+    # All state planes are stacked channels-LAST and cropped with ONE
+    # vmapped dynamic_slice per patch: separate per-plane crops cost ~5.5x
+    # more on TPU (the minor-dim-contiguous (p, p, C) slice vectorises).
+    planes = [
+        fixed[:n].reshape(h, w).astype(jnp.float32),
+        out_u[:n].reshape(h, w),
+        out_v[:n].reshape(h, w),
+        state.wu[:n].reshape(h, w),
+        state.wv[:n].reshape(h, w),
+        trust2d,
+        out_chi[:n].reshape(h, w),
+        state.wchi[:n].reshape(h, w),
+    ]
     if fill == "dense":
         fixed2d = fixed[:n].reshape(h, w)
-        dfu = _dense_fill(fixed2d, out_u[:n].reshape(h, w))
-        dfv = _dense_fill(fixed2d, out_v[:n].reshape(h, w))
-        dfu_pad = pad_for_crops(dfu, p)
-        dfv_pad = pad_for_crops(dfv, p)
+        planes.append(_dense_fill(fixed2d, out_u[:n].reshape(h, w)))
+        planes.append(_dense_fill(fixed2d, out_v[:n].reshape(h, w)))
+    stack = jnp.pad(
+        jnp.stack(planes, axis=-1), ((0, p), (0, p), (0, 0)), mode="edge"
+    )
+    nch = stack.shape[-1]
 
     def build_init(oy_k, ox_k, ph_k, pw_k):
         inbox = (rows < ph_k) & (cols < pw_k)
-        fxp = crop_padded(fx_pad, oy_k, ox_k, p) & inbox
-        ou = crop_padded(ou_pad, oy_k, ox_k, p)
-        ov = crop_padded(ov_pad, oy_k, ox_k, p)
-        wu_p = crop_padded(wu_pad, oy_k, ox_k, p)
-        wv_p = crop_padded(wv_pad, oy_k, ox_k, p)
-        tr = crop_padded(trust2d_pad, oy_k, ox_k, p)
-
-        oc = crop_padded(oc_pad, oy_k, ox_k, p)
-        wc_p = crop_padded(wc_pad, oy_k, ox_k, p)
+        pl = jax.lax.dynamic_slice(stack, (oy_k, ox_k, 0), (p, p, nch))
+        fxp = (pl[..., 0] > 0.5) & inbox
+        ou, ov = pl[..., 1], pl[..., 2]
+        wu_p, wv_p = pl[..., 3], pl[..., 4]
+        tr = pl[..., 5]
+        oc, wc_p = pl[..., 6], pl[..., 7]
         if fill == "dense":
-            fill_u = crop_padded(dfu_pad, oy_k, ox_k, p)
-            fill_v = crop_padded(dfv_pad, oy_k, ox_k, p)
+            fill_u, fill_v = pl[..., 8], pl[..., 9]
         else:
             fill_u = poisson_fill_canvas(jnp.where(fxp, ou, jnp.nan), ph_k, pw_k)
             fill_v = poisson_fill_canvas(jnp.where(fxp, ov, jnp.nan), ph_k, pw_k)
@@ -278,7 +312,12 @@ def _sweep_body(
         nu = su[cy + dy, cx + dx, bidx]
         nv = sv[cy + dy, cx + dx, bidx]
         nc = schi[cy + dy, cx + dx, bidx]
-        ok = inb & ~fixed[q] & (new_e < cand_e[q])
+        if relax:
+            ok = inb & (new_e < cand_e[q]) & (
+                new_e < ene[q] * relax_margin - 1e-6
+            )
+        else:
+            ok = inb & ~fixed[q] & (new_e < cand_e[q])
         cand_e, cand_u, cand_v, cand_chi = _scatter_min_payload(
             cand_e, cand_u, cand_v, cand_chi, q, new_e, nu, nv, nc, ok, dump
         )
@@ -325,7 +364,7 @@ def _sweep_body(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "fill",
+        "fill", "floor", "relax", "relax_margin",
     ),
 )
 def grow_to_completion(
@@ -334,13 +373,14 @@ def grow_to_completion(
     trust, sal, iteration,
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
-    fill: str = "patch",
+    fill: str = "patch", floor=None, relax: bool = True,
+    relax_margin: float = 0.95,
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
     n = h * w
     p = 2 * wr + 1
-    trust2d_pad = pad_for_crops(trust[:n].reshape(h, w), p)
+    trust2d = trust[:n].reshape(h, w).astype(jnp.float32)
 
     def cond(carry):
         _, n_acc, sweeps = carry
@@ -349,9 +389,10 @@ def grow_to_completion(
     def body(carry):
         st, _, sweeps = carry
         st, n_acc = _sweep_body(
-            st, solver, sconsts, trust2d_pad, sal, iteration,
+            st, solver, sconsts, trust2d, sal, iteration,
             h, w, wr, bsz, warps, max_iters,
-            delta=delta, fill=fill,
+            delta=delta, fill=fill, floor=floor, relax=relax,
+            relax_margin=relax_margin,
         )
         return (st, n_acc, sweeps + 1)
 
@@ -364,7 +405,7 @@ def grow_to_completion(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "fill",
+        "fill", "floor", "relax", "relax_margin",
     ),
 )
 def grow_step(
@@ -373,18 +414,20 @@ def grow_step(
     trust, sal, iteration,
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
-    fill: str = "patch",
+    fill: str = "patch", floor=None, relax: bool = True,
+    relax_margin: float = 0.95,
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
     while_loop program is too large for the remote TPU compiler; also handy
     for debugging sweep-by-sweep."""
     n = h * w
     p = 2 * wr + 1
-    trust2d_pad = pad_for_crops(trust[:n].reshape(h, w), p)
+    trust2d = trust[:n].reshape(h, w).astype(jnp.float32)
     return _sweep_body(
-        state, solver, sconsts, trust2d_pad, sal, iteration,
+        state, solver, sconsts, trust2d, sal, iteration,
         h, w, wr, bsz, warps, max_iters,
-        delta=delta, fill=fill,
+        delta=delta, fill=fill, floor=floor, relax=relax,
+        relax_margin=relax_margin,
     )
 
 
@@ -392,7 +435,7 @@ def grow_step(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "chunk", "fill",
+        "chunk", "fill", "floor", "relax", "relax_margin",
     ),
 )
 def grow_chunk(
@@ -401,14 +444,15 @@ def grow_chunk(
     trust, sal, iteration,
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
-    chunk: int = 8, fill: str = "patch",
+    chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
+    relax_margin: float = 0.95,
 ):
     """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
     latency (significant through the tunneled TPU) without the compile cost
     of the unbounded fused loop."""
     n = h * w
     p = 2 * wr + 1
-    trust2d_pad = pad_for_crops(trust[:n].reshape(h, w), p)
+    trust2d = trust[:n].reshape(h, w).astype(jnp.float32)
 
     def cond(carry):
         _, n_acc, k = carry
@@ -417,9 +461,10 @@ def grow_chunk(
     def body(carry):
         st, _, k = carry
         st, n_acc = _sweep_body(
-            st, solver, sconsts, trust2d_pad, sal, iteration,
+            st, solver, sconsts, trust2d, sal, iteration,
             h, w, wr, bsz, warps, max_iters,
-            delta=delta, fill=fill,
+            delta=delta, fill=fill, floor=floor, relax=relax,
+            relax_margin=relax_margin,
         )
         return (st, n_acc, k + 1)
 
@@ -517,7 +562,7 @@ class LocalSolver:
     def __init__(self, h, w, wr=5, bsz=4096, solver=solve_tvl1,
                  warps=1, max_iters=4, seed_bsz=2048,
                  mode="fused", delta=float("inf"), chunk=16, fused=None,
-                 fill="patch"):
+                 fill="patch", floor=None, relax=True, relax_margin=0.95):
         bsz = min(bsz, h * w)
         self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
         self.seed_bsz = seed_bsz
@@ -528,6 +573,11 @@ class LocalSolver:
         self.delta = delta
         self.chunk = chunk
         self.fill = fill
+        # relaxation converges by re-claiming, so default to accepting the
+        # whole top-k batch; the strict-order mode defaults to bsz//16
+        self.floor = (bsz if relax else None) if floor is None else floor
+        self.relax = relax
+        self.relax_margin = relax_margin
         self.kw = dict(warps=warps, max_iters=max_iters)
 
     def insert_seeds(self, state: GrowState, seeds: np.ndarray,
@@ -577,7 +627,8 @@ class LocalSolver:
             state, _sweeps = grow_to_completion(
                 state, self.solver, sconsts, trust, sal, it,
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
-                fill=self.fill, **self.kw
+                fill=self.fill, floor=self.floor, relax=self.relax,
+                relax_margin=self.relax_margin, **self.kw
             )
             self.last_sweeps = int(_sweeps)
             return state
@@ -586,7 +637,9 @@ class LocalSolver:
                 state, n_acc = grow_chunk(
                     state, self.solver, sconsts, trust, sal, it,
                     self.h, self.w, self.wr, self.bsz, delta=self.delta,
-                    chunk=self.chunk, fill=self.fill, **self.kw
+                    chunk=self.chunk, fill=self.fill, floor=self.floor,
+                    relax=self.relax, relax_margin=self.relax_margin,
+                    **self.kw
                 )
                 self.last_sweeps += self.chunk
                 if snapshot_cb is not None:
@@ -605,7 +658,8 @@ class LocalSolver:
             state, n_acc = grow_step(
                 state, self.solver, sconsts, trust, sal, it,
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
-                fill=self.fill, **self.kw
+                fill=self.fill, floor=self.floor, relax=self.relax,
+                relax_margin=self.relax_margin, **self.kw
             )
             self.last_sweeps = i + 1
             if (i + 1) % k == 0 and int(n_acc) == 0:

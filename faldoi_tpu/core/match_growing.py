@@ -84,6 +84,8 @@ def match_growing(
     chunk: int = 16,
     fused=None,
     fill: str = "dense",
+    floor: Optional[int] = None,
+    relax: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
     h, w = i0n.shape
@@ -146,6 +148,7 @@ def match_growing(
         h, w, wr=prm.w_radio, bsz=bsz, solver=solver,
         warps=prm.warps, max_iters=max(pd_cap, 1),
         mode=mode, delta=delta, chunk=chunk, fused=fused, fill=fill,
+        floor=floor, relax=relax,
     )
 
     import time

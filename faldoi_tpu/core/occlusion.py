@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from faldoi_tpu.ops.bicubic import bicubic_interp_at
+from faldoi_tpu.ops.bicubic import bicubic_interp_at, bicubic_window_sample
+from faldoi_tpu.core.functionals import WARP_WIN
 from faldoi_tpu.ops.stencils import (
     centered_gradient,
     divergence_patch,
@@ -53,13 +54,19 @@ def init_weight(i0x, i0y):
 
 
 def _warp3(img, imgx, imgy, gx, gy, u1, u2, inbox):
+    """Patch canvases (small, spatially coherent) take the windowed MXU
+    sampler; the global whole-image canvas keeps the dense gather path
+    (its samples span the full frame, no shared window exists)."""
     su = jnp.where(inbox, u1, 0.0)
     sv = jnp.where(inbox, u2, 0.0)
-    return (
-        bicubic_interp_at(img, gx + su, gy + sv, False),
-        bicubic_interp_at(imgx, gx + su, gy + sv, False),
-        bicubic_interp_at(imgy, gx + su, gy + sv, False),
-    )
+    if max(u1.shape) <= WARP_WIN:
+        w = bicubic_window_sample(jnp.stack([img, imgx, imgy]),
+                                  gx + su, gy + sv, False, win=WARP_WIN)
+        return w[0], w[1], w[2]
+    # global branch: the canvas IS the image grid (oy=ox=0), so the sample
+    # coordinates are grid + (su, sv) — exactly the tiled dense warp
+    w = bicubic_warp_stack(jnp.stack([img, imgx, imgy]), su, sv, False)
+    return w[0], w[1], w[2]
 
 
 def _get_xi(xi, g, v1, v2, chix, chiy, ph, pw, theta, beta, tau_u):

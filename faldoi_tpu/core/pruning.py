@@ -17,15 +17,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from faldoi_tpu.ops.bicubic import bicubic_warp
+from faldoi_tpu.ops.bicubic import bicubic_warp, bicubic_warp_stack
 
 
 @jax.jit
 def fb_consistency_check(u1, u2, bu1, bu2, epsilon):
     """Returns trust mask (1 trusted / 0 occluded) for the forward flow
     (u1, u2) given the backward flow (bu1, bu2)."""
-    u1w = bicubic_warp(bu1, u1, u2, True)
-    u2w = bicubic_warp(bu2, u1, u2, True)
+    # flows are dense at prune time; sanitize residual non-finites anyway —
+    # the MXU window matmul would propagate a NaN window cell to every
+    # sample in its tile (0 * NaN), unlike the 16-tap gather
+    bstack = jnp.stack([jnp.nan_to_num(bu1), jnp.nan_to_num(bu2)])
+    u1w, u2w = bicubic_warp_stack(bstack, u1, u2, True)
     tol = jnp.hypot(u1 + u1w, u2 + u2w)
     return (tol <= epsilon).astype(jnp.int32)
 

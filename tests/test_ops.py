@@ -110,6 +110,60 @@ def test_bicubic_warp(border_out):
     np.testing.assert_allclose(out, r, atol=1e-5)
 
 
+@pytest.mark.parametrize("border_out", [True, False])
+def test_bicubic_window_sample_matches_gather(border_out):
+    """The windowed MXU sampler must reproduce the (oracle-tested) gather
+    path on coherent patch-style sample sets, including border clamping."""
+    from faldoi_tpu.ops.bicubic import bicubic_interp_at, bicubic_window_sample
+
+    h, w = 40, 56
+    planes = np.stack([rand(h, w), rand(h, w), rand(h, w)])
+    for oy, ox in [(0, 0), (12, 20), (29, 45)]:  # interior + both borders
+        gx = ox + np.arange(11, dtype=np.float32)[None, :]
+        gy = oy + np.arange(11, dtype=np.float32)[:, None]
+        uu = gx + (rng.rand(11, 11).astype(np.float32) - 0.5) * 10
+        vv = gy + (rng.rand(11, 11).astype(np.float32) - 0.5) * 10
+        outs = bicubic_window_sample(
+            jnp.asarray(planes), jnp.asarray(uu), jnp.asarray(vv), border_out,
+            win=32,
+        )
+        for c in range(3):
+            expect = bicubic_interp_at(
+                jnp.asarray(planes[c]), jnp.asarray(uu), jnp.asarray(vv),
+                border_out,
+            )
+            np.testing.assert_allclose(outs[c], expect, atol=2e-5)
+
+
+def test_bicubic_window_sample_far_outside():
+    """Samples far outside the image must clamp like the gather path."""
+    from faldoi_tpu.ops.bicubic import bicubic_interp_at, bicubic_window_sample
+
+    h, w = 40, 56
+    img = rand(h, w)
+    uu = jnp.asarray(np.linspace(-15.0, 8.0, 25, dtype=np.float32).reshape(5, 5))
+    vv = jnp.asarray(np.linspace(-9.0, 12.0, 25, dtype=np.float32).reshape(5, 5))
+    out = bicubic_window_sample(jnp.asarray(img)[None], uu, vv, False, win=32)[0]
+    expect = bicubic_interp_at(jnp.asarray(img), uu, vv, False)
+    np.testing.assert_allclose(out, expect, atol=2e-5)
+
+
+@pytest.mark.parametrize("border_out", [True, False])
+def test_bicubic_warp_stack_matches_dense(border_out):
+    from faldoi_tpu.ops.bicubic import bicubic_warp, bicubic_warp_stack
+
+    h, w = 50, 70
+    planes = np.stack([rand(h, w), rand(h, w), rand(h, w)])
+    u = (rng.rand(h, w).astype(np.float32) - 0.5) * 12
+    v = (rng.rand(h, w).astype(np.float32) - 0.5) * 12
+    out = bicubic_warp_stack(jnp.asarray(planes), jnp.asarray(u),
+                             jnp.asarray(v), border_out, tile=16, win=48)
+    for c in range(3):
+        expect = bicubic_warp(jnp.asarray(planes[c]), jnp.asarray(u),
+                              jnp.asarray(v), border_out)
+        np.testing.assert_allclose(out[c], expect, atol=2e-5)
+
+
 def test_bicubic_identity():
     img = rand(9, 9)
     z = np.zeros_like(img)
