@@ -12,7 +12,6 @@ import math
 import os
 import subprocess
 import sys
-import time
 
 from faldoi_tpu import params as P
 
@@ -43,25 +42,48 @@ def build_argparser():
     p.add_argument("-res_path", default="./")
     p.add_argument("-energy_params", default="")
     p.add_argument("-verbose", default="0")
+    p.add_argument("-trace", default="", help="jax.profiler trace logdir")
     return p
 
 
-def deepmatch(im0, im1, out, nt, downscale, max_scale, rot_minus, rot_plus):
-    """deepmatching invocation (faldoi_deep.py:269-306)."""
-    cmd = [
+def _dm_cmd(im0, im1, nt, downscale, max_scale, rot_minus, rot_plus):
+    return [
         os.path.join(REF_BIN, "deepmatching"), im0, im1,
         "-nt", str(nt), "-downscale", str(downscale),
         "-max_scale", str(max_scale),
         "-rot_range", f"-{rot_minus}", f"+{rot_plus}",
     ]
-    with open(out, "w") as fh:
-        subprocess.run(cmd, stdout=fh, check=True)
+
+
+def deepmatch_both(im0, im1, m1, m2, nt, downscale, max_scale,
+                   rot_minus, rot_plus):
+    """Fwd + bwd deepmatching as CONCURRENT subprocesses with the thread
+    budget split between them (reference: multiprocessing.Pool with
+    nt_fwd/nt_bwd, faldoi_deep.py:284-314; no gains beyond ~18 threads)."""
+    nt = min(int(nt), 18)
+    nt_fwd = max(nt - nt // 2, 1)
+    nt_bwd = max(nt // 2, 1)
+    jobs = [
+        (_dm_cmd(im0, im1, nt_fwd, downscale, max_scale, rot_minus, rot_plus), m1),
+        (_dm_cmd(im1, im0, nt_bwd, downscale, max_scale, rot_minus, rot_plus), m2),
+    ]
+    procs = []
+    for cmd, out in jobs:
+        fh = open(out, "w")
+        procs.append((subprocess.Popen(cmd, stdout=fh), fh, cmd))
+    for p, fh, cmd in procs:
+        rc = p.wait()
+        fh.close()
+        if rc != 0:
+            raise subprocess.CalledProcessError(rc, cmd)
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     verbose = args.verbose not in ("0", "false", "False")
-    t0 = time.time()
+    from faldoi_tpu.profiling import StageTimer, device_trace
+
+    timer = StageTimer(enabled=verbose)
 
     with open(args.file_images) as fh:
         frames = [ln.strip() for ln in fh if ln.strip()]
@@ -79,33 +101,28 @@ def main(argv=None):
 
     m1 = os.path.join(res, f"{core1}_dm_mt_1.txt")
     m2 = os.path.join(res, f"{core2}_dm_mt_2.txt")
-    # threads split like faldoi_deep.py:285-292 (fwd/bwd run sequentially
-    # here, so each gets all threads, capped at 18 where gains vanish)
-    nt = min(int(args.nt), 18)
-    deepmatch(im0, im1, m1, nt, args.downscale, args.max_scale,
-              args.rot_minus, args.rot_plus)
-    deepmatch(im1, im0, m2, nt, args.downscale, args.max_scale,
-              args.rot_minus, args.rot_plus)
-    t1 = time.time()
-    if verbose:
-        print(f"(deepmatching) took {t1 - t0:.2f}s", file=sys.stderr)
+    with timer.stage("deepmatching"):
+        deepmatch_both(im0, im1, m1, m2, args.nt, args.downscale,
+                       args.max_scale, args.rot_minus, args.rot_plus)
 
     # confidence -> outlier filter -> 4-column cut (faldoi_deep.py:331-334)
     from faldoi_tpu.matchers import confidence_values, cut_deep_list, delete_outliers
 
-    cuts = []
-    for k, (a, b, m) in enumerate(((im0, im1, m1), (im1, im0, m2))):
-        sal = confidence_values(a, b, m, res + os.sep)
-        out = delete_outliers(sal, float(args.threshold))
-        cuts.append(cut_deep_list(out))
+    with timer.stage("match rescore/prune"):
+        cuts = []
+        for k, (a, b, m) in enumerate(((im0, im1, m1), (im1, im0, m2))):
+            sal = confidence_values(a, b, m, res + os.sep)
+            out = delete_outliers(sal, float(args.threshold))
+            cuts.append(cut_deep_list(out))
 
     from faldoi_tpu.core.sparse import sparse_flow
     from faldoi_tpu.io import write_flo
 
     sp1 = os.path.join(res, f"{core1}_dm_mt_1.flo")
     sp2 = os.path.join(res, f"{core2}_dm_mt_2.flo")
-    write_flo(sp1, sparse_flow(cuts[0], width_im, height_im))
-    write_flo(sp2, sparse_flow(cuts[1], width_im, height_im))
+    with timer.stage("sparse flow"):
+        write_flo(sp1, sparse_flow(cuts[0], width_im, height_im))
+        write_flo(sp2, sparse_flow(cuts[1], width_im, height_im))
 
     from faldoi_tpu.cli import local_faldoi as local_cli
     from faldoi_tpu.cli import global_faldoi as global_cli
@@ -114,26 +131,24 @@ def main(argv=None):
     sim = os.path.join(res, f"{core1}_dm_sim.tiff")
     var = os.path.join(res, f"{core1}_dm_var.flo")
 
-    local_cli.main(
-        [args.file_images, sp1, sp2, rg, sim,
-         "-m", args.vm, "-wr", args.wr, "-p", args.energy_params,
-         "-loc_it", args.local_iter, "-max_pch_it", args.patch_iter,
-         "-split_img", args.split_img, "-h_parts", args.h_parts,
-         "-v_parts", args.v_parts, "-fb_thresh", args.fb_thresh,
-         "-partial_res", args.partial_res, "-verbose", args.verbose]
-    )
-    t2 = time.time()
-    if verbose:
-        print(f"(local) took {t2 - t1:.2f}s", file=sys.stderr)
+    with device_trace(args.trace or None):
+        with timer.stage("local step"):
+            local_cli.main(
+                [args.file_images, sp1, sp2, rg, sim,
+                 "-m", args.vm, "-wr", args.wr, "-p", args.energy_params,
+                 "-loc_it", args.local_iter, "-max_pch_it", args.patch_iter,
+                 "-split_img", args.split_img, "-h_parts", args.h_parts,
+                 "-v_parts", args.v_parts, "-fb_thresh", args.fb_thresh,
+                 "-partial_res", args.partial_res, "-verbose", args.verbose]
+            )
 
-    global_cli.main(
-        [args.file_images, rg, var,
-         "-m", args.vm, "-w", args.warps, "-p", args.energy_params,
-         "-glb_iters", args.glob_iter, "-verbose", args.verbose]
-    )
-    if verbose:
-        print(f"(global) took {time.time() - t2:.2f}s", file=sys.stderr)
-        print(f"(total) {time.time() - t0:.2f}s", file=sys.stderr)
+        with timer.stage("global step"):
+            global_cli.main(
+                [args.file_images, rg, var,
+                 "-m", args.vm, "-w", args.warps, "-p", args.energy_params,
+                 "-glb_iters", args.glob_iter, "-verbose", args.verbose]
+            )
+    timer.report()
     return 0
 
 

@@ -7,13 +7,11 @@ region, scripts_python/README.txt:88-91)."""
 
 from __future__ import annotations
 
-import math
 import os
 import sys
-import time
 
 from faldoi_tpu import params as P
-from faldoi_tpu.cli.faldoi_deep import build_argparser, deepmatch
+from faldoi_tpu.cli.faldoi_deep import build_argparser, deepmatch_both
 
 
 def main(argv=None):
@@ -22,7 +20,9 @@ def main(argv=None):
     parser.set_defaults(fb_thresh="13")
     args = parser.parse_args(argv)
     verbose = args.verbose not in ("0", "false", "False")
-    t0 = time.time()
+    from faldoi_tpu.profiling import StageTimer, device_trace
+
+    timer = StageTimer(enabled=verbose)
 
     with open(args.file_images) as fh:
         frames = [ln.strip() for ln in fh if ln.strip()]
@@ -44,19 +44,18 @@ def main(argv=None):
 
     m1 = os.path.join(res, f"{core1}_dm_mt_1.txt")
     m2 = os.path.join(res, f"{core2}_dm_mt_2.txt")
-    nt = min(int(args.nt), 18)
-    deepmatch(im0, im1, m1, nt, args.downscale, args.max_scale,
-              args.rot_minus, args.rot_plus)
-    deepmatch(im1, im0, m2, nt, args.downscale, args.max_scale,
-              args.rot_minus, args.rot_plus)
+    with timer.stage("deepmatching"):
+        deepmatch_both(im0, im1, m1, m2, args.nt, args.downscale,
+                       args.max_scale, args.rot_minus, args.rot_plus)
 
     from faldoi_tpu.matchers import confidence_values, cut_deep_list, delete_outliers
 
-    cuts = []
-    for (a, b, m) in ((im0, im1, m1), (im1, im0, m2)):
-        sal = confidence_values(a, b, m, res + os.sep)
-        out = delete_outliers(sal, float(args.threshold))
-        cuts.append(cut_deep_list(out))
+    with timer.stage("match rescore/prune"):
+        cuts = []
+        for (a, b, m) in ((im0, im1, m1), (im1, im0, m2)):
+            sal = confidence_values(a, b, m, res + os.sep)
+            out = delete_outliers(sal, float(args.threshold))
+            cuts.append(cut_deep_list(out))
 
     from faldoi_tpu.core.sparse import sparse_flow
     from faldoi_tpu.io import write_flo
@@ -75,21 +74,23 @@ def main(argv=None):
     var = os.path.join(res, f"{core1}_dm_var.flo")
     occ_var = os.path.join(res, f"{core1}_dm_var_occ.png")
 
-    local_cli.main(
-        [args.file_images, sp1, sp2, rg, sim, occ_rg,
-         "-m", args.vm, "-wr", args.wr, "-p", args.energy_params,
-         "-loc_it", args.local_iter, "-max_pch_it", args.patch_iter,
-         "-split_img", args.split_img, "-h_parts", args.h_parts,
-         "-v_parts", args.v_parts, "-fb_thresh", args.fb_thresh,
-         "-partial_res", args.partial_res, "-verbose", args.verbose]
-    )
-    global_cli.main(
-        [args.file_images, rg, var, occ_rg, occ_var,
-         "-m", args.vm, "-w", args.warps, "-p", args.energy_params,
-         "-glb_iters", args.glob_iter, "-verbose", args.verbose]
-    )
-    if verbose:
-        print(f"(total) {time.time() - t0:.2f}s", file=sys.stderr)
+    with device_trace(args.trace or None):
+        with timer.stage("local step"):
+            local_cli.main(
+                [args.file_images, sp1, sp2, rg, sim, occ_rg,
+                 "-m", args.vm, "-wr", args.wr, "-p", args.energy_params,
+                 "-loc_it", args.local_iter, "-max_pch_it", args.patch_iter,
+                 "-split_img", args.split_img, "-h_parts", args.h_parts,
+                 "-v_parts", args.v_parts, "-fb_thresh", args.fb_thresh,
+                 "-partial_res", args.partial_res, "-verbose", args.verbose]
+            )
+        with timer.stage("global step"):
+            global_cli.main(
+                [args.file_images, rg, var, occ_rg, occ_var,
+                 "-m", args.vm, "-w", args.warps, "-p", args.energy_params,
+                 "-glb_iters", args.glob_iter, "-verbose", args.verbose]
+            )
+    timer.report()
     return 0
 
 

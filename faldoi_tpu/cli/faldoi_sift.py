@@ -15,7 +15,6 @@ import argparse
 import os
 import subprocess
 import sys
-import time
 
 from faldoi_tpu import params as P
 
@@ -40,6 +39,7 @@ def build_argparser():
     p.add_argument("-res_path", default="./", help="output directory")
     p.add_argument("-energy_params", default="", help="9-line params file")
     p.add_argument("-verbose", default="0")
+    p.add_argument("-trace", default="", help="jax.profiler trace logdir")
     return p
 
 
@@ -55,6 +55,19 @@ def _runnable(path):
         return False
 
 
+def _run_pair(jobs):
+    """Run [(cmd, stdout_path), ...] concurrently; raise on any failure."""
+    procs = []
+    for cmd, out in jobs:
+        fh = open(out, "w")
+        procs.append((subprocess.Popen(cmd, stdout=fh), fh, cmd))
+    for p, fh, cmd in procs:
+        rc = p.wait()
+        fh.close()
+        if rc != 0:
+            raise subprocess.CalledProcessError(rc, cmd)
+
+
 def compute_sift_matches(im0, im1, nsp, res, core1, core2, verbose):
     """sift_cli x2 + match_cli x2 + column reorder (faldoi_sift.py:235-284),
     with a built-in fallback matcher when the vendored binaries can't run."""
@@ -68,12 +81,12 @@ def compute_sift_matches(im0, im1, nsp, res, core1, core2, verbose):
     m2 = os.path.join(res, f"{core2}_sift_mt_2.txt")
 
     if _runnable(sift_cli):
-        for im, d in ((im0, d1), (im1, d2)):
-            with open(d, "w") as fh:
-                subprocess.run([sift_cli, im, "-ss_nspo", str(nsp)], stdout=fh, check=True)
-        for a, b, m in ((d1, d2, m1), (d2, d1, m2)):
-            with open(m, "w") as fh:
-                subprocess.run([match_cli, a, b], stdout=fh, check=True)
+        # fwd/bwd run as concurrent subprocesses — the reference drivers use
+        # multiprocessing.Pool(2) (scripts_python/faldoi_sift.py:240-262)
+        _run_pair([([sift_cli, im, "-ss_nspo", str(nsp)], d)
+                   for im, d in ((im0, d1), (im1, d2))])
+        _run_pair([([match_cli, a, b], m)
+                   for a, b, m in ((d1, d2, m1), (d2, d1, m2))])
         return cut_matching_list(m1), cut_matching_list(m2)
 
     if verbose:
@@ -86,8 +99,10 @@ def compute_sift_matches(im0, im1, nsp, res, core1, core2, verbose):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    t0 = time.time()
     verbose = args.verbose not in ("0", "false", "False")
+    from faldoi_tpu.profiling import StageTimer, device_trace
+
+    timer = StageTimer(enabled=verbose)
 
     with open(args.file_images) as fh:
         frames = [ln.strip() for ln in fh if ln.strip()]
@@ -103,10 +118,10 @@ def main(argv=None):
     with Image.open(im1) as im:
         width_im, height_im = im.size
 
-    cut1, cut2 = compute_sift_matches(im0, im1, args.nsp, res, core1, core2, verbose)
-    t1 = time.time()
-    if verbose:
-        print(f"(sift) matching took {t1 - t0:.2f}s", file=sys.stderr)
+    with timer.stage("sift matching"):
+        cut1, cut2 = compute_sift_matches(
+            im0, im1, args.nsp, res, core1, core2, verbose
+        )
 
     # sparse seeds
     from faldoi_tpu.core.sparse import sparse_flow
@@ -114,8 +129,9 @@ def main(argv=None):
 
     sp1 = os.path.join(res, f"{core1}_sift_mt_1.flo")
     sp2 = os.path.join(res, f"{core2}_sift_mt_2.flo")
-    write_flo(sp1, sparse_flow(cut1, width_im, height_im))
-    write_flo(sp2, sparse_flow(cut2, width_im, height_im))
+    with timer.stage("sparse flow"):
+        write_flo(sp1, sparse_flow(cut1, width_im, height_im))
+        write_flo(sp2, sparse_flow(cut2, width_im, height_im))
 
     # local + global steps via the stage CLIs (shared code path)
     from faldoi_tpu.cli import local_faldoi as local_cli
@@ -125,26 +141,24 @@ def main(argv=None):
     sim = os.path.join(res, f"{core1}_sift_sim.tiff")
     var = os.path.join(res, f"{core1}_sift_var.flo")
 
-    local_cli.main(
-        [args.file_images, sp1, sp2, rg, sim,
-         "-m", args.vm, "-wr", args.wr, "-p", args.energy_params,
-         "-loc_it", args.local_iter, "-max_pch_it", args.patch_iter,
-         "-split_img", args.split_img, "-h_parts", args.h_parts,
-         "-v_parts", args.v_parts, "-fb_thresh", args.fb_thresh,
-         "-partial_res", args.partial_res, "-verbose", args.verbose]
-    )
-    t2 = time.time()
-    if verbose:
-        print(f"(local) took {t2 - t1:.2f}s", file=sys.stderr)
+    with device_trace(args.trace or None):
+        with timer.stage("local step"):
+            local_cli.main(
+                [args.file_images, sp1, sp2, rg, sim,
+                 "-m", args.vm, "-wr", args.wr, "-p", args.energy_params,
+                 "-loc_it", args.local_iter, "-max_pch_it", args.patch_iter,
+                 "-split_img", args.split_img, "-h_parts", args.h_parts,
+                 "-v_parts", args.v_parts, "-fb_thresh", args.fb_thresh,
+                 "-partial_res", args.partial_res, "-verbose", args.verbose]
+            )
 
-    global_cli.main(
-        [args.file_images, rg, var,
-         "-m", args.vm, "-w", args.warps, "-p", args.energy_params,
-         "-glb_iters", args.glob_iter, "-verbose", args.verbose]
-    )
-    if verbose:
-        print(f"(global) took {time.time() - t2:.2f}s", file=sys.stderr)
-        print(f"(total) {time.time() - t0:.2f}s", file=sys.stderr)
+        with timer.stage("global step"):
+            global_cli.main(
+                [args.file_images, rg, var,
+                 "-m", args.vm, "-w", args.warps, "-p", args.energy_params,
+                 "-glb_iters", args.glob_iter, "-verbose", args.verbose]
+            )
+    timer.report()
     return 0
 
 

@@ -57,6 +57,18 @@ def main(argv=None):
     i1p = read_image_split(names[1])
     i_1p = read_image_split(names[2] if len(names) == 4 else names[1])
 
+    # input-size validation (global_faldoi.cpp:1950-1961)
+    if i1p.shape != i0p.shape or i_1p.shape != i0p.shape:
+        print("ERROR: input images size mismatch", file=sys.stderr)
+        return 1
+    hw = i0p.shape[1:]
+    if in_flow.ndim != 3 or in_flow.shape[2] != 2 or in_flow.shape[:2] != hw:
+        print(
+            f"ERROR: input flow field size mismatch ({in_flow.shape} vs "
+            f"frames {hw})", file=sys.stderr,
+        )
+        return 1
+
     if method == P.M_TVL1_OCC and len(names) == 2:
         print(
             "Since only two images given, method is changed to TV-l2 coupled",
@@ -80,10 +92,14 @@ def main(argv=None):
     t0 = time.time()
     from faldoi_tpu.models import global_refine
 
+    occ0 = read_image_split(occ_in)[0] if occ_in else None
+    if occ0 is not None and occ0.shape != hw:
+        print("ERROR: input occlusion mask size mismatch", file=sys.stderr)
+        return 1
     u1, u2, chi = global_refine(
         method, i0n, i1n, i_1n, u1, u2, prm,
         i0_planes=i0p,
-        occ_init=(read_image_split(occ_in)[0] if occ_in else None),
+        occ_init=occ0,
     )
     u1.block_until_ready()
     if verbose:

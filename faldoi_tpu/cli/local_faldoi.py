@@ -74,10 +74,27 @@ def main(argv=None):
     prm.verbose = verbose
 
     planes = [read_image_split(n) for n in names]
+    # input-size validation (local_faldoi.cpp:1927-1945): all frames equal,
+    # both seed flows 2-channel and matching the frames
+    hw = planes[0].shape[1:]
+    for pl in planes[1:]:
+        if pl.shape[1:] != hw:
+            print("ERROR: input images size mismatch", file=sys.stderr)
+            return 1
+    for name, fl in (("in0", go), ("in1", ba)):
+        if fl.ndim != 3 or fl.shape[2] != 2 or fl.shape[:2] != hw:
+            print(
+                f"ERROR: input flow field size mismatch ({name}: "
+                f"{fl.shape} vs frames {hw})", file=sys.stderr,
+            )
+            return 1
     sal = [None, None]
     if sal_paths:
         sal[0] = read_image_split(sal_paths[0])[0]
         sal[1] = read_image_split(sal_paths[1])[0]
+        if sal[0].shape != hw or sal[1].shape != hw:
+            print("ERROR: saliency size mismatch", file=sys.stderr)
+            return 1
 
     t0 = time.time()
     from faldoi_tpu.core.match_growing import match_growing

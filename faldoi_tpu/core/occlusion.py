@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from faldoi_tpu.ops.bicubic import bicubic_interp_at, bicubic_window_sample
+from faldoi_tpu.ops.bicubic import (
+    bicubic_interp_at, bicubic_warp_stack, bicubic_window_sample,
+)
 from faldoi_tpu.core.functionals import WARP_WIN
 from faldoi_tpu.ops.stencils import (
     centered_gradient,

@@ -200,52 +200,105 @@ def spatial_tvl2_global(mesh: Mesh, i0, i1, u1, u2, iters=40, warps=1,
     return run(i0, i1, i1x, i1y, u1, u2)
 
 
-def pipeline_train_step(mesh: Mesh, batch_i0, batch_i1, batch_seeds):
-    """One full pipeline step over a sharded batch of frame pairs — the
-    "training step" analogue the multi-chip dryrun exercises: seeds ->
-    short local densification (batched patch PD on a coarse grid) ->
-    global refinement, all under one jit over the mesh."""
-    sh = NamedSharding(mesh, PS("data"))
-    batch_i0 = jax.device_put(batch_i0, sh)
-    batch_i1 = jax.device_put(batch_i1, sh)
-    batch_seeds = jax.device_put(batch_seeds, sh)
+def pipeline_train_step(mesh: Mesh, batch_i0, batch_i1, batch_seeds,
+                        n_seeds: int = 64, bsz: int = 64, n_sweeps: int = 6,
+                        wr: int = 5, fb_eps: float = 2.0,
+                        glob_iters: int = 20):
+    """One full REAL pipeline step over a 'data'-sharded batch of frame
+    pairs, all under one jit over the mesh: seed insertion
+    (``core.local_step.seed_batch``) -> wavefront growing (the production
+    ``_sweep_body``) -> FB-consistency pruning + re-queueing
+    (``core.pruning`` / ``core.match_growing`` machinery) -> final growing
+    -> global TV-L1 PD refinement.  This is the multi-chip dryrun body —
+    the actual pipeline kernels, bounded sweep/iteration counts."""
+    from faldoi_tpu.core.functionals import make_solver_consts, solve_tvl1
+    from faldoi_tpu.core.local_step import (
+        _sweep_body, init_state, seed_batch,
+    )
+    from faldoi_tpu.core.match_growing import (
+        _delete_untrusted, _insert_potential,
+    )
+    from faldoi_tpu.core.patch_solver import pad_for_crops
+    from faldoi_tpu.core.pruning import fb_consistency_check
+    from faldoi_tpu.ops import divergence, forward_gradient
 
-    def one(i0, i1, seeds):
-        # dense seed fill (nan -> nearest-ish via masked mean iterations)
-        u = seeds[..., 0]
-        v = seeds[..., 1]
-        mask = jnp.isfinite(u)
-        u0 = jnp.where(mask, u, 0.0)
-        v0 = jnp.where(mask, v, 0.0)
-        m = mask.astype(jnp.float32)
-        for _ in range(8):  # diffusion fill
-            ksum = (
-                jnp.roll(m, 1, 0) + jnp.roll(m, -1, 0)
-                + jnp.roll(m, 1, 1) + jnp.roll(m, -1, 1)
-            )
-            usum = (
-                jnp.roll(u0 * m, 1, 0) + jnp.roll(u0 * m, -1, 0)
-                + jnp.roll(u0 * m, 1, 1) + jnp.roll(u0 * m, -1, 1)
-            )
-            vsum = (
-                jnp.roll(v0 * m, 1, 0) + jnp.roll(v0 * m, -1, 0)
-                + jnp.roll(v0 * m, 1, 1) + jnp.roll(v0 * m, -1, 1)
-            )
-            grow = (ksum > 0) & ~mask
-            u0 = jnp.where(grow, usum / jnp.maximum(ksum, 1), u0)
-            v0 = jnp.where(grow, vsum / jnp.maximum(ksum, 1), v0)
-            mask = mask | grow
-            m = mask.astype(jnp.float32)
+    h, w = batch_i0.shape[1:]
+    n = h * w
+    p = 2 * wr + 1
+    sal = jnp.ones((n + 1,), jnp.float32)
+    ones_trust = jnp.ones((n + 1,), jnp.int32)
 
-        # global TV-L1 refinement (short)
+    def insert(state, seeds2d, sc):
+        uu = seeds2d[..., 0].ravel()
+        vv = seeds2d[..., 1].ravel()
+        fin = jnp.isfinite(uu) & jnp.isfinite(vv)
+        score, idx = jax.lax.top_k(fin.astype(jnp.float32), n_seeds)
+        valid = score > 0.5
+        su = jnp.where(valid, jnp.nan_to_num(uu[idx]), 0.0)
+        sv = jnp.where(valid, jnp.nan_to_num(vv[idx]), 0.0)
+        state = seed_batch(state, idx, su, sv, valid, solve_tvl1, sc, sal,
+                           h, w, n_seeds, warps=1, max_iters=4)
+        # re-fix seeds with original flow + zero energy (insert_seeds host
+        # path, local_faldoi.cpp:785-795) — traced form with a dump slot
+        idxs = jnp.where(valid, idx, n)
+        return state._replace(
+            fixed=state.fixed.at[idxs].set(True),
+            out_u=state.out_u.at[idxs].set(su),
+            out_v=state.out_v.at[idxs].set(sv),
+            ene=state.ene.at[idxs].set(0.0),
+            cand_e=state.cand_e.at[idxs].set(jnp.inf),
+        )
+
+    def grow(state, sc, trust, iteration):
+        trust2d = trust[:n].reshape(h, w).astype(jnp.float32)
+
+        def body(_, st):
+            st, _acc = _sweep_body(
+                st, solve_tvl1, sc, trust2d, sal,
+                jnp.asarray(iteration, jnp.int32),
+                h, w, wr, bsz, 1, 4, delta=0.05, fill="dense",
+                floor=None, relax=False,
+            )
+            return st
+
+        return jax.lax.fori_loop(0, n_sweeps, body, state)
+
+    def one(i0, i1, seeds_fwd):
+        i0x, i0y = centered_gradient(i0)
         i1x, i1y = centered_gradient(i1)
+        sc_go = make_solver_consts(
+            0, pad_for_crops(i0, p), i1, i1x, i1y, 40.0, 0.3, 0.125, 0.01,
+            wr=wr, p=p,
+        )
+        sc_ba = make_solver_consts(
+            0, pad_for_crops(i1, p), i0, i0x, i0y, 40.0, 0.3, 0.125, 0.01,
+            wr=wr, p=p,
+        )
+        # bwd seeds: negated fwd seeds (dryrun stand-in for the bwd matches)
+        st_go = insert(init_state(h, w), seeds_fwd, sc_go)
+        st_ba = insert(init_state(h, w), -seeds_fwd, sc_ba)
+        st_go = grow(st_go, sc_go, ones_trust, 0)
+        st_ba = grow(st_ba, sc_ba, ones_trust, 0)
+
+        fwd_u = jnp.nan_to_num(st_go.out_u[:n].reshape(h, w))
+        fwd_v = jnp.nan_to_num(st_go.out_v[:n].reshape(h, w))
+        bwd_u = jnp.nan_to_num(st_ba.out_u[:n].reshape(h, w))
+        bwd_v = jnp.nan_to_num(st_ba.out_v[:n].reshape(h, w))
+        tg = fb_consistency_check(fwd_u, fwd_v, bwd_u, bwd_v, fb_eps)
+        trust_go = jnp.concatenate([tg.ravel(), jnp.ones((1,), jnp.int32)])
+        st_go = _insert_potential(
+            _delete_untrusted(st_go, trust_go, n), n
+        )
+        st_go = grow(st_go, sc_go, trust_go, 1)
+
+        # global TV-L1 PD refinement on the densified flow (one warp)
+        u0 = jnp.nan_to_num(st_go.out_u[:n].reshape(h, w))
+        v0 = jnp.nan_to_num(st_go.out_v[:n].reshape(h, w))
         l_t = 40.0 * 0.3
         i1w = bicubic_warp(i1, u0, v0, True)
         i1wx = bicubic_warp(i1x, u0, v0, True)
         i1wy = bicubic_warp(i1y, u0, v0, True)
         grad, rho_c = warp_constants(i0, i1w, i1wx, i1wy, u0, v0)
-        from faldoi_tpu.ops import divergence, forward_gradient
-
         xi = [jnp.zeros_like(u0) for _ in range(4)]
 
         def body(_, st):
@@ -263,8 +316,12 @@ def pipeline_train_step(mesh: Mesh, batch_i0, batch_i1, batch_seeds):
                     xi11, xi12, xi21, xi22)
 
         st = (u0, v0, u0, v0, *xi)
-        st = jax.lax.fori_loop(0, 20, body, st)
+        st = jax.lax.fori_loop(0, glob_iters, body, st)
         return jnp.stack([st[0], st[1]], axis=-1)
 
+    sh = NamedSharding(mesh, PS("data"))
+    batch_i0 = jax.device_put(batch_i0, sh)
+    batch_i1 = jax.device_put(batch_i1, sh)
+    batch_seeds = jax.device_put(batch_seeds, sh)
     fn = jax.jit(jax.vmap(one), in_shardings=(sh, sh, sh), out_shardings=sh)
     return fn(batch_i0, batch_i1, batch_seeds)
