@@ -50,7 +50,12 @@ def main():
     import numpy as np
     import jax
 
-    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not _tpu_alive():
+    # a DEAD tunnel makes jax.devices() block forever — whenever the axon
+    # TPU backend could register (sitecustomize keys on PALLAS_AXON_POOL_IPS),
+    # probe it in a subprocess with a timeout before touching the backend
+    want_tpu = (os.environ.get("PALLAS_AXON_POOL_IPS")
+                or os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"))
+    if want_tpu and not _tpu_alive():
         print("# TPU backend unreachable; falling back to CPU", file=sys.stderr)
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         jax.config.update("jax_platforms", "cpu")
@@ -153,6 +158,13 @@ def main():
         pass
     print(f"# EPE vs GT: {epe_gt:.4f} (device: {jax.devices()[0]})",
           file=sys.stderr)
+
+    save = os.environ.get("FALDOI_BENCH_SAVE")
+    if save:
+        from faldoi_tpu.io import write_flo
+
+        write_flo(save + "_var.flo", out)
+        write_flo(save + "_rg.flo", np.asarray(last_rg["flow"]))
 
     print(json.dumps({
         "metric": "local_global_seconds",

@@ -11,9 +11,11 @@ run the two directions back-to-back per iteration.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,6 +67,104 @@ def _flow2d(state: GrowState, h, w):
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "solver", "iterations", "h", "w", "wr", "bsz", "warps", "max_iters",
+        "delta", "fill", "floor", "relax", "relax_margin",
+    ),
+)
+def _iterated_growing(
+    st_go: GrowState, st_ba: GrowState, sc_go, sc_ba, sal_g, sal_b,
+    i0n, i1n, epsilon,
+    solver, iterations: int,
+    h: int, w: int, wr: int, bsz: int, warps: int, max_iters: int,
+    delta: float, fill: str, floor, relax: bool, relax_margin: float,
+):
+    """The ENTIRE post-seed local step as ONE device program: per outer
+    iteration {fwd drain, bwd drain, FB prune, delete+requeue}, then the
+    final forward-only drain (local_faldoi.cpp:1184-1712).
+
+    Rationale (measured, scripts/tpu_latency_probe.py): one wavefront sweep
+    is ~13 ms on-device at 436x1024/bsz=8192, but each per-sweep dispatch
+    adds ~80 ms launch overhead through the tunneled TPU and every host
+    sync (queue-empty check, flow fetch for pruning) costs ~340 ms — the
+    step-mode pipeline is latency-bound, not compute-bound.  Fusing the
+    iterated loop leaves exactly one launch and one result fetch.
+    """
+    from faldoi_tpu.core.local_step import _sweep_body
+
+    n = h * w
+
+    # P1 (fwd/bwd OpenMP task pair, local_faldoi.cpp:1130-1139,1191-1219)
+    # as a DEVICE BATCH: both directions' states are stacked on a leading
+    # axis of size 2 and every sweep solves both directions' patch batches
+    # at once (vmapped _sweep_body).  The lockstep while_loop runs until
+    # both queues drain; a drained lane's sweeps are no-ops (empty top-k).
+    st2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), st_go, st_ba)
+    sc2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), sc_go, sc_ba)
+    sal2 = jnp.stack([sal_g, sal_b])
+
+    sweep_pair = jax.vmap(
+        lambda s, sc, tr, sal, it: _sweep_body(
+            s, solver, sc, tr, sal, it,
+            h, w, wr, bsz, warps, max_iters,
+            delta=delta, fill=fill, floor=floor, relax=relax,
+            relax_margin=relax_margin,
+        ),
+        in_axes=(0, 0, 0, 0, None),
+    )
+
+    def drain_pair(st2, trust2, it):
+        trust2d = trust2[:, :n].reshape(2, h, w).astype(jnp.float32)
+
+        def cond(carry):
+            _, n_acc, _ = carry
+            return n_acc.sum() > 0
+
+        def body(carry):
+            s, _, k = carry
+            s, acc = sweep_pair(s, sc2, trust2d, sal2, it)
+            return (s, acc, k + 1)
+
+        st2, _, k = jax.lax.while_loop(
+            cond, body,
+            (st2, jnp.ones((2,), jnp.int32), jnp.asarray(0, jnp.int32)),
+        )
+        return st2, k
+
+    trust_init = jnp.ones((2, n + 1), jnp.int32)
+    ones21 = jnp.ones((2, 1), jnp.int32)
+
+    def one_iter(it, carry):
+        st2, trust2, sw = carry
+        st2, k = drain_pair(st2, trust2, it)
+        fwd = jnp.stack(
+            [st2.out_u[0, :n].reshape(h, w), st2.out_v[0, :n].reshape(h, w)],
+            axis=-1,
+        )
+        bwd = jnp.stack(
+            [st2.out_u[1, :n].reshape(h, w), st2.out_v[1, :n].reshape(h, w)],
+            axis=-1,
+        )
+        tg, tb = prune(i0n, i1n, fwd, bwd, epsilon)
+        trust2 = jnp.concatenate(
+            [jnp.stack([tg.reshape(-1), tb.reshape(-1)]), ones21], axis=1
+        )
+        # _delete_untrusted/_insert_potential are elementwise over the flat
+        # state arrays, so they apply to the stacked (2, n+1) lanes directly
+        st2 = _insert_potential(_delete_untrusted(st2, trust2, n), n)
+        return (st2, trust2, sw + k)
+
+    carry = (st2, trust_init, jnp.asarray(0, jnp.int32))
+    st2, trust2, sweeps = jax.lax.fori_loop(0, iterations, one_iter, carry)
+    # final forward-only growing (local_faldoi.cpp:1636-1712); the bwd lane
+    # drains alongside in lockstep (discarded — max(lanes) sweeps either way)
+    st2, k = drain_pair(st2, trust2, jnp.asarray(iterations, jnp.int32))
+    st_go = jax.tree.map(lambda a: a[0], st2)
+    return st_go, sweeps + k
+
+
 def match_growing(
     go: np.ndarray,              # (h, w, 2) forward seeds (NaN-sparse)
     ba: np.ndarray,              # (h, w, 2) backward seeds
@@ -86,6 +186,7 @@ def match_growing(
     fill: str = "dense",
     floor: Optional[int] = None,
     relax: bool = False,
+    bilateral: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
     h, w = i0n.shape
@@ -165,11 +266,29 @@ def match_growing(
     st_ba = init_state(h, w)
     st_go = ls.insert_seeds(st_go, go, sc_go, sal_g)
     st_ba = ls.insert_seeds(st_ba, ba, sc_ba, sal_b)
-    jax.block_until_ready(st_go)
+    if verbose:
+        jax.block_until_ready(st_go)
     t = tick("seed insertion", t)
 
     trust_all = jnp.ones((n + 1,), jnp.int32)
     trust_go, trust_ba = trust_all, trust_all
+
+    if mode == "fused" and not prm.part_res and not bilateral:
+        # single-program path: the whole iterated growing in one launch
+        st_go, sweeps = _iterated_growing(
+            st_go, st_ba, sc_go, sc_ba, sal_g, sal_b,
+            i0n, i1n, jnp.asarray(prm.epsilon, jnp.float32),
+            solver, prm.iterations_of,
+            h, w, prm.w_radio, ls.bsz, prm.warps, max(pd_cap, 1),
+            delta, fill, ls.floor, relax, ls.relax_margin,
+        )
+        if verbose:
+            jax.block_until_ready(st_go)
+            t = tick(f"iterated growing (one program, {int(sweeps)} sweeps)", t)
+        flow = _flow2d(st_go, h, w)
+        ene = np.asarray(st_go.ene[:n]).reshape(h, w)
+        occ = np.asarray(st_go.out_chi[:n]).reshape(h, w)
+        return flow, ene, occ
 
     snapshot_cb = None
     if prm.part_res:
@@ -215,6 +334,29 @@ def match_growing(
 
         st_go = _insert_potential(_delete_untrusted(st_go, trust_go, n), n)
         st_ba = _insert_potential(_delete_untrusted(st_ba, trust_ba, n), n)
+        if bilateral:
+            # optional bilateral pre-fill of the untrusted working flow
+            # (the reference's dormant bilateral_filter hook,
+            # local_faldoi.cpp:701-702; see core/bilateral.py)
+            from faldoi_tpu.core.bilateral import bilateral_filter_flow
+
+            zeros2d = jnp.zeros((h, w), jnp.int32)
+
+            def _bfill(st, tr2d):
+                bu, bv = bilateral_filter_flow(
+                    i0n,
+                    jnp.nan_to_num(st.wu[:n].reshape(h, w)),
+                    jnp.nan_to_num(st.wv[:n].reshape(h, w)),
+                    tr2d, zeros2d,
+                )
+                pad1 = st.wu[n:]
+                return st._replace(
+                    wu=jnp.concatenate([bu.ravel(), pad1]),
+                    wv=jnp.concatenate([bv.ravel(), pad1]),
+                )
+
+            st_go = _bfill(st_go, tg)
+            st_ba = _bfill(st_ba, tb)
         t = tick(f"prune+requeue it={it}", t)
 
     # final forward-only growing (local_faldoi.cpp:1636-1712)
