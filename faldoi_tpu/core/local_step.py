@@ -162,7 +162,7 @@ def _sweep_body(
     solver, sconsts, trust2d, sal, iteration,
     h, w, wr, bsz, warps, max_iters,
     delta=jnp.inf, fill="patch", floor=None, relax=True,
-    relax_margin=0.95,
+    relax_margin=0.95, delta_rel=0.0,
 ):
     """One wavefront sweep. Returns (state, n_accepted).
 
@@ -208,7 +208,13 @@ def _sweep_body(
         floor = bsz // 16
     rank = jnp.arange(bsz)
     e_min = e_pop[0]
-    valid = valid & ((e_pop <= e_min + delta) | (rank < max(floor, 1)))
+    # the acceptance band: absolute delta near zero energy, relative
+    # (delta_rel * e_min) once energies grow — the serial heap's order
+    # matters most between LOW-energy fronts (they decide who claims
+    # territory); between high-energy stragglers the precision is wasted
+    # sweeps, so the band widens proportionally.
+    band = e_min + jnp.maximum(jnp.float32(delta), delta_rel * e_min)
+    valid = valid & ((e_pop <= band) | (rank < max(floor, 1)))
     idx_s = jnp.where(valid, idx, dump)
     n_acc = valid.sum()
 
@@ -364,7 +370,7 @@ def _sweep_body(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "fill", "floor", "relax", "relax_margin",
+        "fill", "floor", "relax", "relax_margin", "delta_rel",
     ),
 )
 def grow_to_completion(
@@ -374,7 +380,7 @@ def grow_to_completion(
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
     fill: str = "patch", floor=None, relax: bool = True,
-    relax_margin: float = 0.95,
+    relax_margin: float = 0.95, delta_rel: float = 0.0,
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
@@ -392,7 +398,7 @@ def grow_to_completion(
             st, solver, sconsts, trust2d, sal, iteration,
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
-            relax_margin=relax_margin,
+            relax_margin=relax_margin, delta_rel=delta_rel,
         )
         return (st, n_acc, sweeps + 1)
 
@@ -405,7 +411,7 @@ def grow_to_completion(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "fill", "floor", "relax", "relax_margin",
+        "fill", "floor", "relax", "relax_margin", "delta_rel",
     ),
 )
 def grow_step(
@@ -415,7 +421,7 @@ def grow_step(
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
     fill: str = "patch", floor=None, relax: bool = True,
-    relax_margin: float = 0.95,
+    relax_margin: float = 0.95, delta_rel: float = 0.0,
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
     while_loop program is too large for the remote TPU compiler; also handy
@@ -427,7 +433,7 @@ def grow_step(
         state, solver, sconsts, trust2d, sal, iteration,
         h, w, wr, bsz, warps, max_iters,
         delta=delta, fill=fill, floor=floor, relax=relax,
-        relax_margin=relax_margin,
+        relax_margin=relax_margin, delta_rel=delta_rel,
     )
 
 
@@ -435,7 +441,7 @@ def grow_step(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "chunk", "fill", "floor", "relax", "relax_margin",
+        "chunk", "fill", "floor", "relax", "relax_margin", "delta_rel",
     ),
 )
 def grow_chunk(
@@ -445,7 +451,7 @@ def grow_chunk(
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
     chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
-    relax_margin: float = 0.95,
+    relax_margin: float = 0.95, delta_rel: float = 0.0,
 ):
     """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
     latency (significant through the tunneled TPU) without the compile cost
@@ -464,7 +470,7 @@ def grow_chunk(
             st, solver, sconsts, trust2d, sal, iteration,
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
-            relax_margin=relax_margin,
+            relax_margin=relax_margin, delta_rel=delta_rel,
         )
         return (st, n_acc, k + 1)
 
@@ -562,7 +568,8 @@ class LocalSolver:
     def __init__(self, h, w, wr=5, bsz=4096, solver=solve_tvl1,
                  warps=1, max_iters=4, seed_bsz=2048,
                  mode="fused", delta=float("inf"), chunk=16, fused=None,
-                 fill="patch", floor=None, relax=True, relax_margin=0.95):
+                 fill="patch", floor=None, relax=True, relax_margin=0.95,
+                 delta_rel=0.0):
         bsz = min(bsz, h * w)
         self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
         self.seed_bsz = seed_bsz
@@ -578,6 +585,7 @@ class LocalSolver:
         self.floor = (bsz if relax else None) if floor is None else floor
         self.relax = relax
         self.relax_margin = relax_margin
+        self.delta_rel = delta_rel
         self.kw = dict(warps=warps, max_iters=max_iters)
 
     def insert_seeds(self, state: GrowState, seeds: np.ndarray,
@@ -628,7 +636,7 @@ class LocalSolver:
                 state, self.solver, sconsts, trust, sal, it,
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, floor=self.floor, relax=self.relax,
-                relax_margin=self.relax_margin, **self.kw
+                relax_margin=self.relax_margin, delta_rel=self.delta_rel, **self.kw
             )
             self.last_sweeps = int(_sweeps)
             return state
@@ -659,7 +667,7 @@ class LocalSolver:
                 state, self.solver, sconsts, trust, sal, it,
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, floor=self.floor, relax=self.relax,
-                relax_margin=self.relax_margin, **self.kw
+                relax_margin=self.relax_margin, delta_rel=self.delta_rel, **self.kw
             )
             self.last_sweeps = i + 1
             if (i + 1) % k == 0 and int(n_acc) == 0:

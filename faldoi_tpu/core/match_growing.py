@@ -71,7 +71,7 @@ def _flow2d(state: GrowState, h, w):
     jax.jit,
     static_argnames=(
         "solver", "iterations", "h", "w", "wr", "bsz", "warps", "max_iters",
-        "delta", "fill", "floor", "relax", "relax_margin",
+        "delta", "fill", "floor", "relax", "relax_margin", "delta_rel",
     ),
 )
 def _iterated_growing(
@@ -80,6 +80,7 @@ def _iterated_growing(
     solver, iterations: int,
     h: int, w: int, wr: int, bsz: int, warps: int, max_iters: int,
     delta: float, fill: str, floor, relax: bool, relax_margin: float,
+    delta_rel: float = 0.0,
 ):
     """The ENTIRE post-seed local step as ONE device program: per outer
     iteration {fwd drain, bwd drain, FB prune, delete+requeue}, then the
@@ -110,7 +111,7 @@ def _iterated_growing(
             s, solver, sc, tr, sal, it,
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
-            relax_margin=relax_margin,
+            relax_margin=relax_margin, delta_rel=delta_rel,
         ),
         in_axes=(0, 0, 0, 0, None),
     )
@@ -187,8 +188,16 @@ def match_growing(
     floor: Optional[int] = None,
     relax: bool = False,
     bilateral: bool = False,
+    delta_rel: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
+    mode = os.environ.get("FALDOI_GROW_MODE", mode)
+    if floor is None and os.environ.get("FALDOI_GROW_FLOOR"):
+        floor = int(os.environ["FALDOI_GROW_FLOOR"])
+    if os.environ.get("FALDOI_GROW_DELTA"):
+        delta = float(os.environ["FALDOI_GROW_DELTA"])
+    if os.environ.get("FALDOI_GROW_DELTA_REL"):
+        delta_rel = float(os.environ["FALDOI_GROW_DELTA_REL"])
     h, w = i0n.shape
     n = h * w
     lam, theta, tau = method_local_params(prm.val_method, prm.w_radio)
@@ -249,7 +258,7 @@ def match_growing(
         h, w, wr=prm.w_radio, bsz=bsz, solver=solver,
         warps=prm.warps, max_iters=max(pd_cap, 1),
         mode=mode, delta=delta, chunk=chunk, fused=fused, fill=fill,
-        floor=floor, relax=relax,
+        floor=floor, relax=relax, delta_rel=delta_rel,
     )
 
     import time
@@ -280,7 +289,7 @@ def match_growing(
             i0n, i1n, jnp.asarray(prm.epsilon, jnp.float32),
             solver, prm.iterations_of,
             h, w, prm.w_radio, ls.bsz, prm.warps, max(pd_cap, 1),
-            delta, fill, ls.floor, relax, ls.relax_margin,
+            delta, fill, ls.floor, relax, ls.relax_margin, delta_rel,
         )
         if verbose:
             jax.block_until_ready(st_go)

@@ -80,13 +80,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="tiny", choices=["tiny", "crop", "full"])
     ap.add_argument("--method", type=int, default=0)
+    ap.add_argument("--workdir", default="",
+                    help="persistent dir: reference outputs are cached and "
+                         "reused across runs (the binaries are slow here)")
+    ap.add_argument("--skip-ours", action="store_true",
+                    help="only (re)generate the reference outputs")
     args = ap.parse_args()
 
     from faldoi_tpu.io import read_flo
     from faldoi_tpu.cli import local_faldoi as lcli
     from faldoi_tpu.cli import global_faldoi as gcli
 
-    tmp = tempfile.mkdtemp(prefix="faldoi_parity_")
+    if args.workdir:
+        tmp = args.workdir
+        os.makedirs(tmp, exist_ok=True)
+    else:
+        tmp = tempfile.mkdtemp(prefix="faldoi_parity_")
     ims, s1, s2, gt = make_fixtures(args.scale, args.method, tmp)
     m = str(args.method)
     occ = args.method == 8
@@ -105,8 +114,13 @@ def main():
         ref_global += [pth("ref_rgo.png"), pth("ref_varo.png")]
         our_local.append(pth("our_rgo.png"))
         our_global += [pth("our_rgo.png"), pth("our_varo.png")]
-    subprocess.run(ref_local + ["-m", m], check=True, capture_output=True)
-    subprocess.run(ref_global + ["-m", m], check=True, capture_output=True)
+    if not (os.path.exists(pth("ref_rg.flo"))
+            and os.path.exists(pth("ref_var.flo"))):
+        subprocess.run(ref_local + ["-m", m], check=True, capture_output=True)
+        subprocess.run(ref_global + ["-m", m], check=True, capture_output=True)
+    if args.skip_ours:
+        print("reference outputs ready in", tmp)
+        return 0
     lcli.main(our_local + ["-m", m])
     gcli.main(our_global + ["-m", m])
 
