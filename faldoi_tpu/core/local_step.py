@@ -128,12 +128,20 @@ def _scatter_max_payload(key_buf, tgt_u, tgt_v, tgt_c, q, key, u, v, c, ok,
     return tgt_u, tgt_v, tgt_c
 
 
-def _dense_fill(fixed2d, out2d, iters=16):
+def _dense_fill(fixed2d, out2d, iters=28):
     """Whole-image masked diffusion fill from fixed pixels — the dense
     alternative to the per-patch Poisson fill.  One fill per sweep shared by
     every patch (the per-patch multigrid, vmapped over thousands of patches,
     dominates the XLA program size and compile time; near the frontier the
-    two fills agree because the local data is the same fixed pixels)."""
+    two fills agree because the local data is the same fixed pixels).
+
+    ``iters`` must cover the worst-case in-patch Manhattan distance from a
+    candidate's patch cell to its nearest fixed pixel, else far cells stay
+    ZERO where the reference's per-patch Poisson fill would carry the seed
+    value — with wr=5 an isolated seed's far patch corner is 20 steps away
+    (this under-reach at iters=16 was a root cause of the sparse-seed crop
+    divergence; cells the diffusion never reaches start the PD solve at 0
+    and converge to a different local optimum than the reference)."""
     m = fixed2d.astype(jnp.float32)
     x = jnp.where(fixed2d, out2d, 0.0)
 
@@ -162,7 +170,7 @@ def _sweep_body(
     solver, sconsts, trust2d, sal, iteration,
     h, w, wr, bsz, warps, max_iters,
     delta=jnp.inf, fill="patch", floor=None, relax=True,
-    relax_margin=0.95, delta_rel=0.0,
+    relax_margin=0.95, delta_rel=0.0, floor_scale=0,
 ):
     """One wavefront sweep. Returns (state, n_accepted).
 
@@ -214,7 +222,21 @@ def _sweep_body(
     # territory); between high-energy stragglers the precision is wasted
     # sweeps, so the band widens proportionally.
     band = e_min + jnp.maximum(jnp.float32(delta), delta_rel * e_min)
-    valid = valid & ((e_pop <= band) | (rank < max(floor, 1)))
+    # queue-adaptive floor: the rank floor exists to bound the sweep count
+    # when the queue is LARGE (dense growth phase, where band occupancy is
+    # high and intra-band order is noise).  When the queue is SMALL — a few
+    # sparse fronts racing across seed-poor terrain — rank-floor acceptance
+    # is breadth-first flooding and destroys the serial pop order exactly
+    # where it decides the result (measured: rg 2.69 px vs the reference on
+    # a sparse 192x256 crop).  Scale the floor with the queue so sparse
+    # phases degrade to (near-)serial delta-band acceptance.
+    if floor_scale:
+        queue = jnp.isfinite(eligible).sum()
+        floor_dyn = jnp.minimum(max(floor, 1),
+                                jnp.maximum(1, queue // floor_scale))
+    else:
+        floor_dyn = max(floor, 1)
+    valid = valid & ((e_pop <= band) | (rank < floor_dyn))
     idx_s = jnp.where(valid, idx, dump)
     n_acc = valid.sum()
 
@@ -371,6 +393,7 @@ def _sweep_body(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "fill", "floor", "relax", "relax_margin", "delta_rel",
+        "floor_scale",
     ),
 )
 def grow_to_completion(
@@ -381,6 +404,7 @@ def grow_to_completion(
     warps: int, max_iters: int, delta: float = float("inf"),
     fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
+    floor_scale: int = 0,
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
@@ -399,6 +423,7 @@ def grow_to_completion(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
+            floor_scale=floor_scale,
         )
         return (st, n_acc, sweeps + 1)
 
@@ -412,6 +437,7 @@ def grow_to_completion(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "fill", "floor", "relax", "relax_margin", "delta_rel",
+        "floor_scale",
     ),
 )
 def grow_step(
@@ -422,6 +448,7 @@ def grow_step(
     warps: int, max_iters: int, delta: float = float("inf"),
     fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
+    floor_scale: int = 0,
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
     while_loop program is too large for the remote TPU compiler; also handy
@@ -434,6 +461,7 @@ def grow_step(
         h, w, wr, bsz, warps, max_iters,
         delta=delta, fill=fill, floor=floor, relax=relax,
         relax_margin=relax_margin, delta_rel=delta_rel,
+            floor_scale=floor_scale,
     )
 
 
@@ -442,6 +470,7 @@ def grow_step(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "chunk", "fill", "floor", "relax", "relax_margin", "delta_rel",
+        "floor_scale",
     ),
 )
 def grow_chunk(
@@ -452,6 +481,7 @@ def grow_chunk(
     warps: int, max_iters: int, delta: float = float("inf"),
     chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
+    floor_scale: int = 0,
 ):
     """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
     latency (significant through the tunneled TPU) without the compile cost
@@ -471,6 +501,7 @@ def grow_chunk(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
+            floor_scale=floor_scale,
         )
         return (st, n_acc, k + 1)
 
@@ -569,7 +600,7 @@ class LocalSolver:
                  warps=1, max_iters=4, seed_bsz=2048,
                  mode="fused", delta=float("inf"), chunk=16, fused=None,
                  fill="patch", floor=None, relax=True, relax_margin=0.95,
-                 delta_rel=0.0):
+                 delta_rel=0.0, floor_scale=0):
         bsz = min(bsz, h * w)
         self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
         self.seed_bsz = seed_bsz
@@ -586,6 +617,7 @@ class LocalSolver:
         self.relax = relax
         self.relax_margin = relax_margin
         self.delta_rel = delta_rel
+        self.floor_scale = floor_scale
         self.kw = dict(warps=warps, max_iters=max_iters)
 
     def insert_seeds(self, state: GrowState, seeds: np.ndarray,
@@ -636,7 +668,8 @@ class LocalSolver:
                 state, self.solver, sconsts, trust, sal, it,
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, floor=self.floor, relax=self.relax,
-                relax_margin=self.relax_margin, delta_rel=self.delta_rel, **self.kw
+                relax_margin=self.relax_margin, delta_rel=self.delta_rel,
+                floor_scale=self.floor_scale, **self.kw
             )
             self.last_sweeps = int(_sweeps)
             return state
@@ -647,6 +680,7 @@ class LocalSolver:
                     self.h, self.w, self.wr, self.bsz, delta=self.delta,
                     chunk=self.chunk, fill=self.fill, floor=self.floor,
                     relax=self.relax, relax_margin=self.relax_margin,
+                    delta_rel=self.delta_rel, floor_scale=self.floor_scale,
                     **self.kw
                 )
                 self.last_sweeps += self.chunk
@@ -667,7 +701,8 @@ class LocalSolver:
                 state, self.solver, sconsts, trust, sal, it,
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, floor=self.floor, relax=self.relax,
-                relax_margin=self.relax_margin, delta_rel=self.delta_rel, **self.kw
+                relax_margin=self.relax_margin, delta_rel=self.delta_rel,
+                floor_scale=self.floor_scale, **self.kw
             )
             self.last_sweeps = i + 1
             if (i + 1) % k == 0 and int(n_acc) == 0:

@@ -72,6 +72,7 @@ def _flow2d(state: GrowState, h, w):
     static_argnames=(
         "solver", "iterations", "h", "w", "wr", "bsz", "warps", "max_iters",
         "delta", "fill", "floor", "relax", "relax_margin", "delta_rel",
+        "floor_scale",
     ),
 )
 def _iterated_growing(
@@ -80,7 +81,7 @@ def _iterated_growing(
     solver, iterations: int,
     h: int, w: int, wr: int, bsz: int, warps: int, max_iters: int,
     delta: float, fill: str, floor, relax: bool, relax_margin: float,
-    delta_rel: float = 0.0,
+    delta_rel: float = 0.0, floor_scale: int = 0,
 ):
     """The ENTIRE post-seed local step as ONE device program: per outer
     iteration {fwd drain, bwd drain, FB prune, delete+requeue}, then the
@@ -112,6 +113,7 @@ def _iterated_growing(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
+            floor_scale=floor_scale,
         ),
         in_axes=(0, 0, 0, 0, None),
     )
@@ -180,24 +182,41 @@ def match_growing(
     i2n: Optional[jnp.ndarray] = None,    # method 8: frame t+2
     bsz: int = 4096,
     verbose: bool = False,
-    mode: str = "fused",
+    mode: str = "auto",
     delta: float = 0.05,
-    chunk: int = 16,
+    chunk: int = 64,
     fused=None,
     fill: str = "dense",
     floor: Optional[int] = None,
     relax: bool = False,
     bilateral: bool = False,
     delta_rel: float = 0.0,
+    floor_scale: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
     mode = os.environ.get("FALDOI_GROW_MODE", mode)
+    if mode == "auto":
+        # fused single-program execution is ideal where launches are cheap
+        # and unbounded program runtimes are safe (CPU, local devices); the
+        # tunneled remote TPU kills long-running launches (observed worker
+        # crashes on the one-program pipeline), so accelerators get chunked
+        # drains — bounded launches, device-side early exit per chunk.
+        import jax as _jax
+
+        mode = "fused" if _jax.default_backend() == "cpu" else "chunked"
     if floor is None and os.environ.get("FALDOI_GROW_FLOOR"):
         floor = int(os.environ["FALDOI_GROW_FLOOR"])
     if os.environ.get("FALDOI_GROW_DELTA"):
         delta = float(os.environ["FALDOI_GROW_DELTA"])
     if os.environ.get("FALDOI_GROW_DELTA_REL"):
         delta_rel = float(os.environ["FALDOI_GROW_DELTA_REL"])
+    if os.environ.get("FALDOI_GROW_FLOOR_SCALE"):
+        floor_scale = int(os.environ["FALDOI_GROW_FLOOR_SCALE"])
+    if os.environ.get("FALDOI_GROW_BSZ"):
+        bsz = int(os.environ["FALDOI_GROW_BSZ"])
+    if os.environ.get("FALDOI_GROW_CHUNK"):
+        chunk = int(os.environ["FALDOI_GROW_CHUNK"])
+    fill = os.environ.get("FALDOI_GROW_FILL", fill)
     h, w = i0n.shape
     n = h * w
     lam, theta, tau = method_local_params(prm.val_method, prm.w_radio)
@@ -259,6 +278,7 @@ def match_growing(
         warps=prm.warps, max_iters=max(pd_cap, 1),
         mode=mode, delta=delta, chunk=chunk, fused=fused, fill=fill,
         floor=floor, relax=relax, delta_rel=delta_rel,
+        floor_scale=floor_scale,
     )
 
     import time
@@ -290,6 +310,7 @@ def match_growing(
             solver, prm.iterations_of,
             h, w, prm.w_radio, ls.bsz, prm.warps, max(pd_cap, 1),
             delta, fill, ls.floor, relax, ls.relax_margin, delta_rel,
+            floor_scale,
         )
         if verbose:
             jax.block_until_ready(st_go)

@@ -139,5 +139,6 @@ def main():
 
 
 if __name__ == "__main__":
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    if not os.environ.get("FALDOI_PARITY_TPU"):
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # default: CPU
     raise SystemExit(main())

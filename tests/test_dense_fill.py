@@ -40,6 +40,28 @@ def _frontier_cells(fx):
     return ~fx & nb
 
 
+def test_dense_fill_reaches_far_patch_corners_of_isolated_seed():
+    """Sparse-seed regression guard: a single fixed pixel must propagate to
+    the far corners of ANY candidate patch around it (the reference's
+    per-patch Poisson fill carries the seed value across the whole patch —
+    interpolate_poisson, local_faldoi.cpp:326-368).  With too few diffusion
+    iterations those corners stay 0 and the PD solve starts from garbage."""
+    h, w = 64, 96
+    fixed = np.zeros((h, w), bool)
+    fixed[32, 48] = True
+    vals = np.where(fixed, 7.5, 0.0).astype(np.float32)
+    dense = np.asarray(_dense_fill(jnp.asarray(fixed), jnp.asarray(vals)))
+    # candidate at (33, 48); its wr=5 patch spans rows 28..38, cols 43..53;
+    # also check one ring further (candidates at distance 2 after a sweep)
+    for (cy, cx) in [(33, 48), (34, 48), (32, 50)]:
+        oy, ox = cy - 5, cx - 5
+        patch = dense[oy:oy + P, ox:ox + P]
+        assert np.abs(patch - 7.5).max() < 1e-4, (
+            f"patch at {(cy, cx)}: fill did not reach corners "
+            f"(min {patch.min()})"
+        )
+
+
 @pytest.mark.parametrize("geometry", ["half_plane", "blob", "two_fronts"])
 def test_dense_fill_matches_poisson_at_frontier(geometry):
     h, w = 64, 96
