@@ -128,41 +128,27 @@ def _scatter_max_payload(key_buf, tgt_u, tgt_v, tgt_c, q, key, u, v, c, ok,
     return tgt_u, tgt_v, tgt_c
 
 
-def _dense_fill(fixed2d, out2d, iters=28):
-    """Whole-image masked diffusion fill from fixed pixels — the dense
-    alternative to the per-patch Poisson fill.  One fill per sweep shared by
-    every patch (the per-patch multigrid, vmapped over thousands of patches,
-    dominates the XLA program size and compile time; near the frontier the
-    two fills agree because the local data is the same fixed pixels).
+def _dense_fill(fixed2d, out2d, iters=0):
+    """Whole-image fill from fixed pixels — the dense alternative to the
+    per-patch Poisson fill.  One fill per sweep shared by every patch (the
+    per-patch multigrid, vmapped over thousands of patches, dominates the
+    XLA program size and compile time).
 
-    ``iters`` must cover the worst-case in-patch Manhattan distance from a
-    candidate's patch cell to its nearest fixed pixel, else far cells stay
-    ZERO where the reference's per-patch Poisson fill would carry the seed
-    value — with wr=5 an isolated seed's far patch corner is 20 steps away
-    (this under-reach at iters=16 was a root cause of the sparse-seed crop
-    divergence; cells the diffusion never reaches start the PD solve at 0
-    and converge to a different local optimum than the reference)."""
-    m = fixed2d.astype(jnp.float32)
-    x = jnp.where(fixed2d, out2d, 0.0)
+    Nearest-front extension (jump-flood Voronoi + pinned relaxation, see
+    ``ops.poisson.nearest_fill_image``): each unfixed cell continues its
+    CLOSEST front's flow, which is what the reference's per-patch
+    ``interpolate_poisson`` effectively computes at a frontier patch (it
+    sees only the in-patch fixed pixels, i.e. the local front).  Two
+    earlier dense variants measurably broke sparse-seed parity: a
+    bounded-radius diffusion left zero-init cells beyond its reach, and a
+    global harmonic fill interpolated BETWEEN distant fronts, biasing every
+    frontier patch's init toward the opposing front (the 4-iteration PD
+    solve never escapes a bad init, and init error compounds along growth
+    chains)."""
+    from faldoi_tpu.ops.poisson import nearest_fill_image
 
-    def body(_, st):
-        x, m = st
-        def nb(a, dy, dx):
-            ap = jnp.pad(a, ((1, 1), (1, 1)))
-            return ap[1 + dy : 1 + dy + a.shape[0], 1 + dx : 1 + dx + a.shape[1]]
-        ksum = nb(m, 0, 1) + nb(m, 0, -1) + nb(m, 1, 0) + nb(m, -1, 0)
-        xsum = (nb(x * m, 0, 1) + nb(x * m, 0, -1)
-                + nb(x * m, 1, 0) + nb(x * m, -1, 0))
-        grow = (ksum > 0) & (m == 0)
-        x = jnp.where(grow, xsum / jnp.maximum(ksum, 1.0), x)
-        m = jnp.where(grow, 1.0, m)
-        # smooth already-filled (non-fixed) values toward neighbours
-        relax = (m > 0) & ~fixed2d & (ksum >= 2)
-        x = jnp.where(relax, 0.5 * x + 0.5 * xsum / jnp.maximum(ksum, 1.0), x)
-        return (x, m)
-
-    x, m = jax.lax.fori_loop(0, iters, body, (x, m))
-    return jnp.where(m > 0, x, 0.0)
+    x = jnp.where(fixed2d, out2d, jnp.nan)
+    return nearest_fill_image(x)
 
 
 def _sweep_body(

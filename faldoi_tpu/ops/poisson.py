@@ -157,3 +157,148 @@ def poisson_fill_batch(
     return jax.vmap(
         lambda xi, phi, pwi: poisson_fill_canvas(xi, phi, pwi, timestep, niter, scale)
     )(x, ph, pw)
+
+
+def _rect_level_sizes(py: int, px: int, scale: int):
+    sizes = [(py, px)]
+    for _ in range(scale - 1):
+        if max(sizes[-1]) == 1:
+            break
+        sizes.append((max(1, math.ceil(sizes[-1][0] / 2)),
+                      max(1, math.ceil(sizes[-1][1] / 2))))
+    return sizes
+
+
+def _rect_zoom_out2(x, child):
+    """NaN-discarding 2x2 block average onto a (cy, cx) canvas."""
+    cy, cx = child
+    pad_y = 2 * cy - x.shape[0]
+    pad_x = 2 * cx - x.shape[1]
+    if pad_y or pad_x:
+        x = jnp.pad(x, ((0, pad_y), (0, pad_x)), constant_values=jnp.nan)
+    blocks = jnp.stack(
+        [x[0::2, 0::2], x[0::2, 1::2], x[1::2, 0::2], x[1::2, 1::2]]
+    )
+    fin = jnp.isfinite(blocks)
+    cnt = fin.sum(axis=0)
+    s = jnp.where(fin, blocks, 0.0).sum(axis=0)
+    return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), jnp.nan)
+
+
+def _rect_relax(y, hole, timestep, niter):
+    """Red-black Gauss-Seidel on a full rectangular canvas (Neumann edges)."""
+    py, px = y.shape
+    rows = jnp.arange(py)[:, None]
+    cols = jnp.arange(px)[None, :]
+    red = (rows + cols) % 2 == 0
+
+    def nb(a):
+        right = jnp.where(cols + 1 < px, _shift(a, 0, 1), a)
+        left = jnp.where(cols - 1 >= 0, _shift(a, 0, -1), a)
+        down = jnp.where(rows + 1 < py, _shift(a, 1, 0), a)
+        up = jnp.where(rows - 1 >= 0, _shift(a, -1, 0), a)
+        return right, left, down, up
+
+    def halfsweep(y, color):
+        r, l, d, u = nb(y)
+        lap = -4.0 * y + r + l + d + u
+        return jnp.where(hole & color, y + timestep * lap, y)
+
+    for _ in range(niter):
+        y = halfsweep(y, red)
+        y = halfsweep(y, ~red)
+    return y
+
+
+def poisson_fill_image(
+    x: jnp.ndarray, timestep: float = 0.4, niter: int = 3,
+    scale: int = 0,
+) -> jnp.ndarray:
+    """Whole-image NaN fill with the SAME coarse-to-fine multigrid the
+    reference applies per patch (``elap_recursive_separable``,
+    elap_recsep.c:225; timestep 0.4, 3 relaxation sweeps per level) — run
+    once globally so every sweep's thousands of patch inits share one fill.
+    ``scale=0`` = as many levels as needed to reach 1x1 (full long-range
+    propagation; an isolated seed reaches the whole image).
+    """
+    h, w = x.shape
+    if not scale:
+        scale = max(h, w).bit_length() + 1
+    sizes = _rect_level_sizes(h, w, scale)
+    levels = [x]
+    for k in range(1, len(sizes)):
+        levels.append(_rect_zoom_out2(levels[-1], sizes[k]))
+    out = None
+    for k in range(len(sizes) - 1, -1, -1):
+        xk = levels[k]
+        if out is None:
+            init = jnp.zeros_like(xk)
+        else:
+            up = jnp.repeat(jnp.repeat(out, 2, axis=0), 2, axis=1)
+            init = up[: sizes[k][0], : sizes[k][1]]
+        hole = ~jnp.isfinite(xk)
+        y = jnp.where(hole, init, xk)
+        y = jnp.where(jnp.isfinite(y), y, 0.0)
+        out = _rect_relax(y, hole, timestep, niter)
+    return out
+
+
+def _shift_stack(a, dy, dx):
+    """Edge-replicated shift of a (C, h, w) stack by (+dy, +dx)."""
+    c, h, w = a.shape
+    pad = ((0, 0), (max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0)))
+    ap = jnp.pad(a, pad, mode="edge")
+    return ap[:, max(-dy, 0): max(-dy, 0) + h, max(-dx, 0): max(-dx, 0) + w]
+
+
+def nearest_fill_image(
+    x: jnp.ndarray, smooth_iters: int = 6, timestep: float = 0.4,
+) -> jnp.ndarray:
+    """Whole-image NaN fill by NEAREST-seed extension (jump-flooding) plus a
+    few pinned relaxation sweeps.
+
+    Why not one global harmonic fill: the reference's per-patch
+    ``interpolate_poisson`` sees ONLY the fixed pixels inside the patch, so
+    ahead of a growth front the init is an *extension of that front's flow*.
+    A global harmonic fill instead interpolates *between* distant fronts
+    across unfixed terrain, biasing every frontier patch's init toward the
+    opposing front — the batched sweeps then converge to visibly different
+    flow than the serial reference in seed-sparse regions.  Nearest-seed
+    extension restores the patch-local character (each cell continues its
+    closest front) while still covering the whole image; the relaxation
+    sweeps smooth the Voronoi seams the way the patch fill smooths its
+    boundary values.
+    """
+    h, w = x.shape
+    fin = jnp.isfinite(x)
+    yy = jnp.broadcast_to(jnp.arange(h, dtype=x.dtype)[:, None], (h, w))
+    xx = jnp.broadcast_to(jnp.arange(w, dtype=x.dtype)[None, :], (h, w))
+    far = jnp.asarray(-1.0e6, x.dtype)
+    state = jnp.stack([
+        jnp.where(fin, yy, far),
+        jnp.where(fin, xx, far),
+        jnp.where(fin, x, 0.0),
+    ])
+    best = jnp.where(fin, 0.0, jnp.inf)
+
+    k = 1
+    while k * 2 < max(h, w):
+        k *= 2
+    strides = []
+    while k >= 1:
+        strides.append(k)
+        k //= 2
+
+    for k in strides:
+        for dy in (-k, 0, k):
+            for dx in (-k, 0, k):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = _shift_stack(state, dy, dx)
+                d2 = (yy - nb[0]) ** 2 + (xx - nb[1]) ** 2
+                better = d2 < best
+                best = jnp.where(better, d2, best)
+                state = jnp.where(better[None], nb, state)
+
+    y = jnp.where(fin, x, state[2])
+    return _rect_relax(y, ~fin, timestep, smooth_iters)
