@@ -74,12 +74,14 @@ def main():
     # step mode: the per-sweep program compiles reliably on the remote TPU
     # compiler (the while_loop-wrapped fused variants have pathological
     # compile times there); dispatches are pipelined (sync every `chunk`)
-    mode = os.environ.get("FALDOI_BENCH_MODE", "step")
+    mode = os.environ.get("FALDOI_BENCH_MODE", "chunked")
     repeats = int(os.environ.get("FALDOI_BENCH_REPEATS", "1"))
     # Delta-stepping band: 0.05 reproduces the serial priority order's
     # accuracy at large batch sizes (see core/local_step.py)
-    delta = float(os.environ.get("FALDOI_BENCH_DELTA", "inf"))
-    relax = os.environ.get("FALDOI_BENCH_RELAX", "1") == "1"
+    # parity-validated growing config (see core/match_growing defaults):
+    # patch-local fill + tight band + queue-adaptive floor
+    delta = float(os.environ.get("FALDOI_BENCH_DELTA", "0.01"))
+    relax = os.environ.get("FALDOI_BENCH_RELAX", "0") == "1"
 
     i0 = read_image_split(BASE + "frame_0002.png")
     i1 = read_image_split(BASE + "frame_0003.png")
@@ -103,7 +105,8 @@ def main():
     prm.iterations_of = P.LOCAL_ITER
     prm.epsilon = P.FB_TOL
 
-    fill = os.environ.get("FALDOI_BENCH_FILL", "dense")
+    fill = os.environ.get("FALDOI_BENCH_FILL", "patch")
+    floor_scale = int(os.environ.get("FALDOI_BENCH_FLOOR_SCALE", "64"))
     floor = os.environ.get("FALDOI_BENCH_FLOOR")
     floor = int(floor) if floor else None
 
@@ -112,7 +115,7 @@ def main():
     def pipeline():
         flow, ene, _occ = match_growing(go, ba, a, b, prm, bsz=bsz, mode=mode,
                                         delta=delta, fill=fill, floor=floor,
-                                        relax=relax)
+                                        relax=relax, floor_scale=floor_scale)
         last_rg["flow"] = flow
         u1, u2 = tvl2_global(
             a, b, jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1])

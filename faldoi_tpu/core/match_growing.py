@@ -183,16 +183,21 @@ def match_growing(
     bsz: int = 4096,
     verbose: bool = False,
     mode: str = "auto",
-    delta: float = 0.05,
+    delta: float = 0.01,
     chunk: int = 64,
     fused=None,
-    fill: str = "dense",
+    fill: str = "patch",
     floor: Optional[int] = None,
     relax: bool = False,
     bilateral: bool = False,
     delta_rel: float = 0.0,
-    floor_scale: int = 0,
+    floor_scale: int = 64,
 ) -> Tuple[np.ndarray, np.ndarray]:
+    # Defaults validated against the reference binaries on the seed-sparse
+    # 192x256 crop (the adversarial fixture for wavefront ordering): patch
+    # fill + delta=0.01 + floor_scale=64 give var EPE 0.0257 vs the
+    # binaries (gate 0.05) where any whole-image fill or constant rank
+    # floor diverges by >1 px.  See scripts/run_parity.py and PARITY.md.
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
     mode = os.environ.get("FALDOI_GROW_MODE", mode)
     if mode == "auto":
