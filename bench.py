@@ -81,6 +81,7 @@ def main():
     # parity-validated growing config (see core/match_growing defaults):
     # patch-local fill + tight band + queue-adaptive floor
     delta = float(os.environ.get("FALDOI_BENCH_DELTA", "0.01"))
+    delta_rel = float(os.environ.get("FALDOI_BENCH_DELTA_REL", "0.5"))
     relax = os.environ.get("FALDOI_BENCH_RELAX", "0") == "1"
 
     i0 = read_image_split(BASE + "frame_0002.png")
@@ -115,7 +116,8 @@ def main():
     def pipeline():
         flow, ene, _occ = match_growing(go, ba, a, b, prm, bsz=bsz, mode=mode,
                                         delta=delta, fill=fill, floor=floor,
-                                        relax=relax, floor_scale=floor_scale)
+                                        relax=relax, floor_scale=floor_scale,
+                                        delta_rel=delta_rel)
         last_rg["flow"] = flow
         u1, u2 = tvl2_global(
             a, b, jnp.asarray(flow[..., 0]), jnp.asarray(flow[..., 1])

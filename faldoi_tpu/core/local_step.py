@@ -156,7 +156,7 @@ def _sweep_body(
     solver, sconsts, trust2d, sal, iteration,
     h, w, wr, bsz, warps, max_iters,
     delta=jnp.inf, fill="patch", floor=None, relax=True,
-    relax_margin=0.95, delta_rel=0.0, floor_scale=0,
+    relax_margin=0.95, delta_rel=0.0, floor_scale=0, block=0,
 ):
     """One wavefront sweep. Returns (state, n_accepted).
 
@@ -208,6 +208,31 @@ def _sweep_body(
     # territory); between high-energy stragglers the precision is wasted
     # sweeps, so the band widens proportionally.
     band = e_min + jnp.maximum(jnp.float32(delta), delta_rel * e_min)
+    if block:
+        # BLOCK-LOCAL bands: the serial heap's global order only has
+        # consequences where fronts COMPETE — within a neighbourhood.  Far
+        # apart fronts can advance concurrently without changing who wins
+        # any pixel, so each (block x block) tile gets its own delta band
+        # anchored at the tile's minimum eligible energy.  Acceptance per
+        # sweep then scales with the number of active tiles instead of the
+        # global band occupancy.
+        by = -(-h // block)
+        bx = -(-w // block)
+        e2d = jnp.pad(
+            eligible.reshape(h, w),
+            ((0, by * block - h), (0, bx * block - w)),
+            constant_values=jnp.inf,
+        )
+        bmin = e2d.reshape(by, block, bx, block).min(axis=(1, 3))
+        bmin_f = jnp.repeat(jnp.repeat(bmin, block, 0), block, 1)[:h, :w]
+        bband = bmin_f + jnp.maximum(jnp.float32(delta),
+                                     delta_rel * bmin_f)
+        in_local = eligible <= bband.reshape(n)
+        # a candidate passes with EITHER its local band or the global one
+        local_at = jnp.concatenate([in_local, jnp.zeros((1,), bool)])[idx]
+        e_ok = (e_pop <= band) | local_at
+    else:
+        e_ok = e_pop <= band
     # queue-adaptive floor: the rank floor exists to bound the sweep count
     # when the queue is LARGE (dense growth phase, where band occupancy is
     # high and intra-band order is noise).  When the queue is SMALL — a few
@@ -222,7 +247,7 @@ def _sweep_body(
                                 jnp.maximum(1, queue // floor_scale))
     else:
         floor_dyn = max(floor, 1)
-    valid = valid & ((e_pop <= band) | (rank < floor_dyn))
+    valid = valid & (e_ok | (rank < floor_dyn))
     idx_s = jnp.where(valid, idx, dump)
     n_acc = valid.sum()
 
@@ -379,7 +404,7 @@ def _sweep_body(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale",
+        "floor_scale", "block",
     ),
 )
 def grow_to_completion(
@@ -390,7 +415,7 @@ def grow_to_completion(
     warps: int, max_iters: int, delta: float = float("inf"),
     fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
-    floor_scale: int = 0,
+    floor_scale: int = 0, block: int = 0,
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
@@ -409,7 +434,7 @@ def grow_to_completion(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=floor_scale,
+            floor_scale=floor_scale, block=block,
         )
         return (st, n_acc, sweeps + 1)
 
@@ -423,7 +448,7 @@ def grow_to_completion(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale",
+        "floor_scale", "block",
     ),
 )
 def grow_step(
@@ -434,7 +459,7 @@ def grow_step(
     warps: int, max_iters: int, delta: float = float("inf"),
     fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
-    floor_scale: int = 0,
+    floor_scale: int = 0, block: int = 0,
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
     while_loop program is too large for the remote TPU compiler; also handy
@@ -456,7 +481,7 @@ def grow_step(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "chunk", "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale",
+        "floor_scale", "block", "block",
     ),
 )
 def grow_chunk(
@@ -467,7 +492,7 @@ def grow_chunk(
     warps: int, max_iters: int, delta: float = float("inf"),
     chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
-    floor_scale: int = 0,
+    floor_scale: int = 0, block: int = 0,
 ):
     """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
     latency (significant through the tunneled TPU) without the compile cost
@@ -487,7 +512,7 @@ def grow_chunk(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=floor_scale,
+            floor_scale=floor_scale, block=block,
         )
         return (st, n_acc, k + 1)
 
@@ -586,7 +611,7 @@ class LocalSolver:
                  warps=1, max_iters=4, seed_bsz=2048,
                  mode="fused", delta=float("inf"), chunk=16, fused=None,
                  fill="patch", floor=None, relax=True, relax_margin=0.95,
-                 delta_rel=0.0, floor_scale=0):
+                 delta_rel=0.0, floor_scale=0, block=0):
         bsz = min(bsz, h * w)
         self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
         self.seed_bsz = seed_bsz
@@ -604,6 +629,7 @@ class LocalSolver:
         self.relax_margin = relax_margin
         self.delta_rel = delta_rel
         self.floor_scale = floor_scale
+        self.block = block
         self.kw = dict(warps=warps, max_iters=max_iters)
 
     def insert_seeds(self, state: GrowState, seeds: np.ndarray,
@@ -655,7 +681,7 @@ class LocalSolver:
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, floor=self.floor, relax=self.relax,
                 relax_margin=self.relax_margin, delta_rel=self.delta_rel,
-                floor_scale=self.floor_scale, **self.kw
+                floor_scale=self.floor_scale, block=self.block, **self.kw
             )
             self.last_sweeps = int(_sweeps)
             return state
@@ -667,7 +693,7 @@ class LocalSolver:
                     chunk=self.chunk, fill=self.fill, floor=self.floor,
                     relax=self.relax, relax_margin=self.relax_margin,
                     delta_rel=self.delta_rel, floor_scale=self.floor_scale,
-                    **self.kw
+                    block=self.block, **self.kw
                 )
                 self.last_sweeps += self.chunk
                 if snapshot_cb is not None:
@@ -688,7 +714,7 @@ class LocalSolver:
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, floor=self.floor, relax=self.relax,
                 relax_margin=self.relax_margin, delta_rel=self.delta_rel,
-                floor_scale=self.floor_scale, **self.kw
+                floor_scale=self.floor_scale, block=self.block, **self.kw
             )
             self.last_sweeps = i + 1
             if (i + 1) % k == 0 and int(n_acc) == 0:

@@ -72,7 +72,7 @@ def _flow2d(state: GrowState, h, w):
     static_argnames=(
         "solver", "iterations", "h", "w", "wr", "bsz", "warps", "max_iters",
         "delta", "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale",
+        "floor_scale", "block",
     ),
 )
 def _iterated_growing(
@@ -81,7 +81,7 @@ def _iterated_growing(
     solver, iterations: int,
     h: int, w: int, wr: int, bsz: int, warps: int, max_iters: int,
     delta: float, fill: str, floor, relax: bool, relax_margin: float,
-    delta_rel: float = 0.0, floor_scale: int = 0,
+    delta_rel: float = 0.0, floor_scale: int = 0, block: int = 0,
 ):
     """The ENTIRE post-seed local step as ONE device program: per outer
     iteration {fwd drain, bwd drain, FB prune, delete+requeue}, then the
@@ -113,7 +113,7 @@ def _iterated_growing(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=floor_scale,
+            floor_scale=floor_scale, block=block,
         ),
         in_axes=(0, 0, 0, 0, None),
     )
@@ -190,8 +190,9 @@ def match_growing(
     floor: Optional[int] = None,
     relax: bool = False,
     bilateral: bool = False,
-    delta_rel: float = 0.0,
+    delta_rel: float = 0.5,
     floor_scale: int = 64,
+    block: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     # Defaults validated against the reference binaries on the seed-sparse
     # 192x256 crop (the adversarial fixture for wavefront ordering): patch
@@ -217,6 +218,8 @@ def match_growing(
         delta_rel = float(os.environ["FALDOI_GROW_DELTA_REL"])
     if os.environ.get("FALDOI_GROW_FLOOR_SCALE"):
         floor_scale = int(os.environ["FALDOI_GROW_FLOOR_SCALE"])
+    if os.environ.get("FALDOI_GROW_BLOCK"):
+        block = int(os.environ["FALDOI_GROW_BLOCK"])
     if os.environ.get("FALDOI_GROW_BSZ"):
         bsz = int(os.environ["FALDOI_GROW_BSZ"])
     if os.environ.get("FALDOI_GROW_CHUNK"):
@@ -283,7 +286,7 @@ def match_growing(
         warps=prm.warps, max_iters=max(pd_cap, 1),
         mode=mode, delta=delta, chunk=chunk, fused=fused, fill=fill,
         floor=floor, relax=relax, delta_rel=delta_rel,
-        floor_scale=floor_scale,
+        floor_scale=floor_scale, block=block,
     )
 
     import time
@@ -315,7 +318,7 @@ def match_growing(
             solver, prm.iterations_of,
             h, w, prm.w_radio, ls.bsz, prm.warps, max(pd_cap, 1),
             delta, fill, ls.floor, relax, ls.relax_margin, delta_rel,
-            floor_scale,
+            floor_scale, block,
         )
         if verbose:
             jax.block_until_ready(st_go)

@@ -85,6 +85,8 @@ def main():
                          "reused across runs (the binaries are slow here)")
     ap.add_argument("--skip-ours", action="store_true",
                     help="only (re)generate the reference outputs")
+    ap.add_argument("--verbose", action="store_true",
+                    help="pass -verbose to our stage CLIs (sweep counts)")
     args = ap.parse_args()
 
     from faldoi_tpu.io import read_flo
@@ -121,8 +123,9 @@ def main():
     if args.skip_ours:
         print("reference outputs ready in", tmp)
         return 0
-    lcli.main(our_local + ["-m", m])
-    gcli.main(our_global + ["-m", m])
+    verb = ["-verbose", "1"] if args.verbose else []
+    lcli.main(our_local + ["-m", m] + verb)
+    gcli.main(our_global + ["-m", m] + verb)
 
     ok = True
     for tag in ("rg", "var"):
