@@ -67,15 +67,9 @@ def deepmatch_both(im0, im1, m1, m2, nt, downscale, max_scale,
         (_dm_cmd(im0, im1, nt_fwd, downscale, max_scale, rot_minus, rot_plus), m1),
         (_dm_cmd(im1, im0, nt_bwd, downscale, max_scale, rot_minus, rot_plus), m2),
     ]
-    procs = []
-    for cmd, out in jobs:
-        fh = open(out, "w")
-        procs.append((subprocess.Popen(cmd, stdout=fh), fh, cmd))
-    for p, fh, cmd in procs:
-        rc = p.wait()
-        fh.close()
-        if rc != 0:
-            raise subprocess.CalledProcessError(rc, cmd)
+    from faldoi_tpu.cli.faldoi_sift import _run_pair
+
+    _run_pair(jobs)
 
 
 def main(argv=None):

@@ -56,16 +56,30 @@ def _runnable(path):
 
 
 def _run_pair(jobs):
-    """Run [(cmd, stdout_path), ...] concurrently; raise on any failure."""
+    """Run [(cmd, stdout_path), ...] concurrently; raise on any failure.
+
+    All siblings are waited on (and reaped) before raising, and stdout
+    handles are always closed — a mid-loop Popen failure terminates the
+    already-started processes instead of orphaning them."""
     procs = []
-    for cmd, out in jobs:
-        fh = open(out, "w")
-        procs.append((subprocess.Popen(cmd, stdout=fh), fh, cmd))
-    for p, fh, cmd in procs:
-        rc = p.wait()
-        fh.close()
-        if rc != 0:
-            raise subprocess.CalledProcessError(rc, cmd)
+    try:
+        for cmd, out in jobs:
+            fh = open(out, "w")
+            try:
+                procs.append((subprocess.Popen(cmd, stdout=fh), fh, cmd))
+            except Exception:
+                fh.close()
+                raise
+        rcs = [(p.wait(), cmd) for p, _fh, cmd in procs]
+        for rc, cmd in rcs:
+            if rc != 0:
+                raise subprocess.CalledProcessError(rc, cmd)
+    finally:
+        for p, fh, _cmd in procs:
+            if p.poll() is None:
+                p.terminate()
+                p.wait()
+            fh.close()
 
 
 def compute_sift_matches(im0, im1, nsp, res, core1, core2, verbose):

@@ -398,6 +398,17 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
                        p, warps, max_iters, wr, weighted, nltv_reg):
     from faldoi_tpu.core.patch_solver import crop_padded
 
+    # Reference quirk (methods 4/5): guided_tvcsad[_w] feeds tvcsad_getD the
+    # flow-gradient buffers u1x/u1y/u2x/u2y which are NEVER written anywhere
+    # (allocated by initialize_auxiliar_stuff, tvcsad_model.cpp:38-41, and
+    # only ever READ at :255 and :135) — in practice zero pages, so the TV
+    # duals stay 0, div_xi == 0, and eval's sqrt(g) term is 0.  The local
+    # TV-CSAD solver is effectively data-prox-only; we reproduce that (it
+    # defines the binaries' output, like the it/2+1 median index).  Set
+    # FALDOI_CSAD_TRUE_TV=1 for the mathematically-intended solver.
+    inert_tv = (not nltv_reg) and os.environ.get(
+        "FALDOI_CSAD_TRUE_TV", "0") != "1"
+
     rows, cols, inbox, gx, gy = _canvas_setup(p, oy, ox, ph, pw, u1.dtype)
     i0_patch = crop_padded(sc.i0pad, oy, ox, p)
     masks = _csad_masks(rows, cols, ph, pw) & inbox[None]
@@ -438,6 +449,10 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
                 nu1 = u1 - sc.tau * (d1 + (u1 - v1) / sc.theta)
                 nu2 = u2 - sc.tau * (d2 + (u2 - v2) / sc.theta)
                 reg = (sc_p, sc_q)
+            elif inert_tv:
+                # duals pinned at 0 (reference zero-buffer quirk, see above)
+                nu1 = u1 - sc.tau * ((u1 - v1) / sc.theta)
+                nu2 = u2 - sc.tau * ((u2 - v2) / sc.theta)
             else:
                 xi11, xi12, xi21, xi22 = reg
                 u1x, u1y = forward_gradient_patch(u1_, ph, pw)
@@ -491,6 +506,9 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
                 + jnp.abs(u2 - _shift_canvas(u2, dy, dx))
             )
         g = g / wt2
+    elif inert_tv:
+        # eval_tvcsad's g reads the same never-written buffers => 0
+        g = jnp.zeros_like(u1)
     else:
         u1x, u1y = forward_gradient_patch(u1, ph, pw)
         u2x, u2y = forward_gradient_patch(u2, ph, pw)

@@ -472,7 +472,7 @@ def grow_step(
         h, w, wr, bsz, warps, max_iters,
         delta=delta, fill=fill, floor=floor, relax=relax,
         relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=floor_scale,
+        floor_scale=floor_scale, block=block,
     )
 
 
@@ -481,7 +481,7 @@ def grow_step(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "chunk", "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block", "block",
+        "floor_scale", "block",
     ),
 )
 def grow_chunk(
@@ -519,6 +519,63 @@ def grow_chunk(
     carry = (state, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
     state, n_acc, _ = jax.lax.while_loop(cond, body, carry)
     return state, n_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
+        "chunk", "fill", "floor", "relax", "relax_margin", "delta_rel",
+        "floor_scale", "block",
+    ),
+)
+def grow_chunk_pair(
+    st2: GrowState,              # stacked (2, ...) fwd/bwd states
+    solver, sc2,                 # stacked (2, ...) SolverConsts
+    trust2, sal2, iteration,     # stacked (2, n+1) trust / saliency
+    h: int, w: int, wr: int, bsz: int,
+    warps: int, max_iters: int, delta: float = float("inf"),
+    chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
+    relax_margin: float = 0.95, delta_rel: float = 0.0,
+    floor_scale: int = 0, block: int = 0,
+):
+    """Bounded-chunk drain of BOTH growing directions in one program.
+
+    The reference runs fwd/bwd growings as an OpenMP task pair
+    (local_faldoi.cpp:1191-1219); here the two directions' sweeps are one
+    vmapped device batch (2 x bsz patches per sweep) — half the dispatches
+    and double the batch occupancy of draining them back-to-back.  A drained
+    lane's sweeps are no-ops (empty top-k), so the lockstep loop runs until
+    both queues empty or ``chunk`` sweeps elapse.
+    """
+    n = h * w
+    trust2d = jax.vmap(
+        lambda t: t[:n].reshape(h, w).astype(jnp.float32)
+    )(trust2)
+
+    sweep_pair = jax.vmap(
+        lambda s, sc, tr, sal, it: _sweep_body(
+            s, solver, sc, tr, sal, it,
+            h, w, wr, bsz, warps, max_iters,
+            delta=delta, fill=fill, floor=floor, relax=relax,
+            relax_margin=relax_margin, delta_rel=delta_rel,
+            floor_scale=floor_scale, block=block,
+        ),
+        in_axes=(0, 0, 0, 0, None),
+    )
+
+    def cond(carry):
+        _, n_acc, k = carry
+        return jnp.logical_and(n_acc.sum() > 0, k < chunk)
+
+    def body(carry):
+        s, _, k = carry
+        s, acc = sweep_pair(s, sc2, trust2d, sal2, iteration)
+        return (s, acc, k + 1)
+
+    carry = (st2, jnp.ones((2,), jnp.int32), jnp.asarray(0, jnp.int32))
+    st2, n_acc, _ = jax.lax.while_loop(cond, body, carry)
+    return st2, n_acc
 
 
 @functools.partial(
@@ -707,6 +764,47 @@ class LocalSolver:
         # `chunk` sweeps so the host->device round-trip (expensive through
         # the tunneled TPU) overlaps with device execution; trailing
         # empty sweeps are no-ops.
+        return self._grow_step_mode(state, sconsts, trust, sal, it,
+                                    max_sweeps)
+
+    def grow_pair(self, st2, sc2, trust2, sal2, iteration,
+                  max_sweeps=100000, snapshot_cb=None):
+        """Drain BOTH directions' queues as one stacked device batch
+        (chunked dispatches).  ``st2``/``sc2``/``trust2``/``sal2`` carry a
+        leading lane axis of size 2 (fwd, bwd).
+
+        Dispatch is PIPELINED: the drain check looks at the previous
+        chunk's acceptance count while the next chunk is already running on
+        device, hiding the host->device sync latency (~340 ms through the
+        tunneled TPU); the one trailing chunk after a drain is all no-op
+        sweeps (empty top-k).
+        """
+        it = jnp.asarray(iteration, jnp.int32)
+        self.last_sweeps = 0
+        pending = None
+        for _ in range(max_sweeps):
+            st2, n_acc = grow_chunk_pair(
+                st2, self.solver, sc2, trust2, sal2, it,
+                self.h, self.w, self.wr, self.bsz, delta=self.delta,
+                chunk=self.chunk, fill=self.fill, floor=self.floor,
+                relax=self.relax, relax_margin=self.relax_margin,
+                delta_rel=self.delta_rel, floor_scale=self.floor_scale,
+                block=self.block, **self.kw
+            )
+            self.last_sweeps += self.chunk
+            if snapshot_cb is not None:
+                n = self.h * self.w
+                frac = float(st2.fixed[0, :n].sum()) / n
+                snapshot_cb(jax.tree.map(lambda a: a[0], st2), frac)
+                if int(n_acc.sum()) == 0:
+                    break
+            else:
+                if pending is not None and int(pending.sum()) == 0:
+                    break
+                pending = n_acc
+        return st2
+
+    def _grow_step_mode(self, state, sconsts, trust, sal, it, max_sweeps):
         k = max(1, self.chunk)
         for i in range(max_sweeps):
             state, n_acc = grow_step(

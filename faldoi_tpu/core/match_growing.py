@@ -4,9 +4,10 @@
 Per outer iteration: forward and backward growings, FB-consistency pruning,
 deletion of untrusted flow, re-queueing of survivors; a final forward-only
 growing produces the output.  The reference's fwd/bwd OpenMP task pair (P1)
-and its spatial partition threads (P2) are subsumed by the batched sweeps —
-every patch of both directions could run in one device batch; we currently
-run the two directions back-to-back per iteration.
+is a stacked device batch here — both directions' sweeps run in one program
+on the fused path (``_iterated_growing``) AND on the chunked accelerator
+path (``LocalSolver.grow_pair``); its spatial partition threads (P2) are
+subsumed by the batched sweeps.
 """
 
 from __future__ import annotations
@@ -55,6 +56,47 @@ def _insert_potential(state: GrowState, n) -> GrowState:
         out_u=jnp.full_like(state.out_u, jnp.nan),
         out_v=jnp.full_like(state.out_v, jnp.nan),
     )
+
+
+def warp_window_overflow(flow: np.ndarray, wr: int, win: int) -> int:
+    """Count pixels whose 11x11-patch warp could overflow the shared MXU
+    sampling window (ops.bicubic.bicubic_window_sample clamps such samples
+    to the window edge with no error signal — advisor finding r2).
+
+    A patch centred at c samples I1 at (cell + flow(cell)) for cells within
+    radius ``wr``; the shared window covers ``win`` px and the stencil needs
+    4, so the sample spread must satisfy  (2*wr) + local_flow_spread <=
+    win - 4.  We measure the flow spread with separable max/min filters over
+    the (2*wr+1) neighbourhood — a conservative, cheap proxy run host-side.
+    """
+    import scipy.ndimage as ndi
+
+    size = 2 * wr + 1
+    n_over = 0
+    for ch in range(2):
+        f = np.nan_to_num(flow[..., ch], nan=0.0)
+        spread = (ndi.maximum_filter(f, size=size)
+                  - ndi.minimum_filter(f, size=size))
+        n_over = max(n_over, int((2 * wr + spread > win - 4).sum()))
+    return n_over
+
+
+def _warn_overflow(flow, wr, label):
+    from faldoi_tpu.core.functionals import WARP_WIN
+
+    n = warp_window_overflow(flow, wr, WARP_WIN)
+    if n:
+        import sys
+
+        print(
+            f"(match_growing) WARNING: {n} px at {label} have intra-patch "
+            f"flow spread exceeding the MXU warp window (WARP_WIN="
+            f"{WARP_WIN}); their bicubic samples were edge-clamped. "
+            f"Re-run with FALDOI_WARP_WIN={2 * WARP_WIN} if parity matters "
+            "on this data.",
+            file=sys.stderr,
+        )
+    return n
 
 
 def _flow2d(state: GrowState, h, w):
@@ -326,6 +368,7 @@ def match_growing(
         flow = _flow2d(st_go, h, w)
         ene = np.asarray(st_go.ene[:n]).reshape(h, w)
         occ = np.asarray(st_go.out_chi[:n]).reshape(h, w)
+        _warn_overflow(flow, prm.w_radio, "final flow")
         return flow, ene, occ
 
     snapshot_cb = None
@@ -346,6 +389,77 @@ def match_growing(
                         f"partial_results/partial_fwd_{pct}_iter_{it}.flo",
                         _flow2d(state, h, w),
                     )
+
+    def _bfill(st, tr2d):
+        # optional bilateral pre-fill of the untrusted working flow
+        # (the reference's dormant bilateral_filter hook,
+        # local_faldoi.cpp:701-702; see core/bilateral.py)
+        from faldoi_tpu.core.bilateral import bilateral_filter_flow
+
+        zeros2d = jnp.zeros((h, w), jnp.int32)
+        bu, bv = bilateral_filter_flow(
+            i0n,
+            jnp.nan_to_num(st.wu[:n].reshape(h, w)),
+            jnp.nan_to_num(st.wv[:n].reshape(h, w)),
+            tr2d, zeros2d,
+        )
+        pad1 = st.wu[n:]
+        return st._replace(
+            wu=jnp.concatenate([bu.ravel(), pad1]),
+            wv=jnp.concatenate([bv.ravel(), pad1]),
+        )
+
+    if mode == "chunked":
+        # P1 paired drain: both directions as one stacked device batch per
+        # sweep (see LocalSolver.grow_pair); prune/requeue stay on device.
+        st2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), st_go, st_ba)
+        sc2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), sc_go, sc_ba)
+        sal2 = jnp.stack([sal_g, sal_b])
+        trust2 = jnp.ones((2, n + 1), jnp.int32)
+        for it in range(prm.iterations_of):
+            if snapshot_cb is not None:
+                marks["it"] = it
+            st2 = ls.grow_pair(st2, sc2, trust2, sal2, it,
+                               snapshot_cb=snapshot_cb)
+            t = tick(f"growings it={it} (paired, <= {ls.last_sweeps} sweeps)",
+                     t)
+            fwd = jnp.stack([st2.out_u[0, :n].reshape(h, w),
+                             st2.out_v[0, :n].reshape(h, w)], axis=-1)
+            bwd = jnp.stack([st2.out_u[1, :n].reshape(h, w),
+                             st2.out_v[1, :n].reshape(h, w)], axis=-1)
+            tg, tb = prune(i0n, i1n, fwd, bwd, prm.epsilon)
+            if verbose:
+                print(
+                    f"iter {it}: FB-chosen fwd {float(tg.mean()):.3f} "
+                    f"bwd {float(tb.mean()):.3f}"
+                )
+            trust2 = jnp.concatenate(
+                [jnp.stack([tg.reshape(-1), tb.reshape(-1)]),
+                 jnp.ones((2, 1), jnp.int32)], axis=1,
+            )
+            st2 = _insert_potential(_delete_untrusted(st2, trust2, n), n)
+            if bilateral:
+                st_go = _bfill(jax.tree.map(lambda a: a[0], st2), tg)
+                st_ba = _bfill(jax.tree.map(lambda a: a[1], st2), tb)
+                st2 = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                   st_go, st_ba)
+            t = tick(f"prune+requeue it={it}", t)
+
+        # final forward-only growing (local_faldoi.cpp:1636-1712); the bwd
+        # lane drains alongside in lockstep (discarded)
+        if snapshot_cb is not None:
+            marks["it"] = prm.iterations_of
+        st2 = ls.grow_pair(st2, sc2, trust2, sal2, prm.iterations_of,
+                           snapshot_cb=snapshot_cb)
+        st_go = jax.tree.map(lambda a: a[0], st2)
+        jax.block_until_ready(st_go)
+        t = tick("final growing", t)
+
+        flow = _flow2d(st_go, h, w)
+        ene = np.asarray(st_go.ene[:n]).reshape(h, w)
+        occ = np.asarray(st_go.out_chi[:n]).reshape(h, w)
+        _warn_overflow(flow, prm.w_radio, "final flow")
+        return flow, ene, occ
 
     for it in range(prm.iterations_of):
         if snapshot_cb is not None:
@@ -373,26 +487,6 @@ def match_growing(
         st_go = _insert_potential(_delete_untrusted(st_go, trust_go, n), n)
         st_ba = _insert_potential(_delete_untrusted(st_ba, trust_ba, n), n)
         if bilateral:
-            # optional bilateral pre-fill of the untrusted working flow
-            # (the reference's dormant bilateral_filter hook,
-            # local_faldoi.cpp:701-702; see core/bilateral.py)
-            from faldoi_tpu.core.bilateral import bilateral_filter_flow
-
-            zeros2d = jnp.zeros((h, w), jnp.int32)
-
-            def _bfill(st, tr2d):
-                bu, bv = bilateral_filter_flow(
-                    i0n,
-                    jnp.nan_to_num(st.wu[:n].reshape(h, w)),
-                    jnp.nan_to_num(st.wv[:n].reshape(h, w)),
-                    tr2d, zeros2d,
-                )
-                pad1 = st.wu[n:]
-                return st._replace(
-                    wu=jnp.concatenate([bu.ravel(), pad1]),
-                    wv=jnp.concatenate([bv.ravel(), pad1]),
-                )
-
             st_go = _bfill(st_go, tg)
             st_ba = _bfill(st_ba, tb)
         t = tick(f"prune+requeue it={it}", t)
@@ -408,4 +502,5 @@ def match_growing(
     flow = _flow2d(st_go, h, w)
     ene = np.asarray(st_go.ene[:n]).reshape(h, w)
     occ = np.asarray(st_go.out_chi[:n]).reshape(h, w)
+    _warn_overflow(flow, prm.w_radio, "final flow")
     return flow, ene, occ

@@ -159,7 +159,9 @@ def bicubic_window_sample(planes: jnp.ndarray, uu: jnp.ndarray,
     Samples whose stencil falls outside the window (intra-patch coordinate
     spread > win-4, i.e. a flow discontinuity of that magnitude inside one
     patch) are clamped to the window edge — callers choose ``win`` large
-    enough for their coherence radius.
+    enough for their coherence radius.  The local step detects this
+    host-side and warns (core.match_growing.warp_window_overflow); raise
+    FALDOI_WARP_WIN for large-motion data.
     """
     c, ny, nx = planes.shape
     wy, wx, wys, wxs, out = _sample_weights(ny, nx, uu, vv)

@@ -68,20 +68,56 @@ def _neighbors_clamped(y, ph, pw, p):
 
 
 def _relax(y, hole, ph, pw, timestep, niter, p):
-    """Red-black Gauss-Seidel on the valid box; only hole pixels move."""
+    """EXACT raster-order Gauss-Seidel on the valid box (only hole pixels
+    move), reproducing ``perform_one_iteration`` (elap_recsep.c:49-68).
+
+    Raster GS on the 5-point stencil decomposes exactly into anti-diagonal
+    wavefronts: updating (r, c) reads already-updated (r-1, c) and (r, c-1)
+    — both on diagonal r+c-1 — and not-yet-updated (r+1, c), (r, c+1) on
+    diagonal r+c+1, so processing diagonals 0..2p-2 in order with all cells
+    of a diagonal in parallel produces bit-identical values to the serial
+    raster loop.  (The C code's early break at maxupdate < 1e-10 is a no-op
+    difference: a converged hole's Laplacian is 0, so further sweeps don't
+    move it.)
+
+    Deviation note: earlier rounds used red-black GS here; its init values
+    differ from the reference by up to ~0.35 and the CSAD-family local
+    solvers (whose TV term is inert, see core/functionals.py) pass that
+    init difference straight into their output.  Set FALDOI_FILL_RB=1 to
+    get the cheaper red-black variant back.
+    """
+    import os
+
     rows = jnp.arange(p)[:, None]
     cols = jnp.arange(p)[None, :]
     inbox = (rows < ph) & (cols < pw)
-    red = (rows + cols) % 2 == 0
+    diag = rows + cols
 
-    def halfsweep(y, color_mask):
-        r, l, d, u = _neighbors_clamped(y, ph, pw, p)
-        lap = -4.0 * y + r + l + d + u
-        return jnp.where(hole & inbox & color_mask, y + timestep * lap, y)
+    if os.environ.get("FALDOI_FILL_RB") == "1":
+        red = diag % 2 == 0
+
+        def halfsweep(y, color_mask):
+            r, l, d, u = _neighbors_clamped(y, ph, pw, p)
+            lap = -4.0 * y + r + l + d + u
+            return jnp.where(hole & inbox & color_mask, y + timestep * lap, y)
+
+        for _ in range(niter):
+            y = halfsweep(y, red)
+            y = halfsweep(y, ~red)
+        return y
+
+    upd = hole & inbox
+
+    def sweep(y):
+        def one_diag(d, y):
+            r, l, dn, up = _neighbors_clamped(y, ph, pw, p)
+            lap = -4.0 * y + r + l + dn + up
+            return jnp.where(upd & (diag == d), y + timestep * lap, y)
+
+        return jax.lax.fori_loop(0, 2 * p - 1, one_diag, y)
 
     for _ in range(niter):
-        y = halfsweep(y, red)
-        y = halfsweep(y, ~red)
+        y = sweep(y)
     return y
 
 

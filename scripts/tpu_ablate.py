@@ -123,17 +123,37 @@ def f_warp(g):
     return g + out * 1e-30
 timeit("vmapped bicubic (bsz x 121 pts)", f_warp, gxy)
 
-# 8. whole sweep body
+# 8. per-patch multigrid fill alone (the fill='patch' per-sweep cost: two
+# channels, bsz patches)
+from faldoi_tpu.ops.poisson import poisson_fill_canvas
+canv = jnp.where(jax.random.uniform(key, (p, p, bsz)) > 0.7,
+                 jax.random.uniform(key, (p, p, bsz)), jnp.nan)
+def f_pfill(c):
+    out = jax.vmap(lambda x, a, b: poisson_fill_canvas(x, a, b),
+                   in_axes=(-1, 0, 0), out_axes=-1)(c, ph, pw)
+    return c + out * 1e-30
+timeit("vmapped patch poisson fill x2ch (bsz)", lambda c: f_pfill(f_pfill(c)),
+       canv)
+
+# 9. nearest_fill_image (the fill='dense' per-sweep cost, x2 channels)
+from faldoi_tpu.ops.poisson import nearest_fill_image
+def f_nfill(c):
+    out = nearest_fill_image(jnp.where(c > 0.7, c, jnp.nan))
+    return c + out * 1e-30
+timeit("nearest_fill_image x2ch", lambda c: f_nfill(f_nfill(c)), img)
+
+# 10. whole sweep body, both fills
 from faldoi_tpu.core.local_step import _sweep_body, init_state
 state = init_state(h, w)
 state = state._replace(cand_e=jnp.concatenate([cand, jnp.full((1,), jnp.inf)]),
                        cand_u=jnp.zeros((n + 1,)), cand_v=jnp.zeros((n + 1,)))
 sal = jnp.ones((n + 1,), jnp.float32)
 trust2d = jnp.ones((h, w), jnp.float32)
-def f_sweep(st):
-    st2, n_acc = _sweep_body(st, solve_tvl1, sc, trust2d, sal,
-                             jnp.asarray(0), h, w, wr, bsz, 1, 4,
-                             delta=0.05, fill="dense")
-    # recycle: reset candidates so the sweep stays busy
-    return st2._replace(cand_e=st.cand_e, fixed=st.fixed)
-timeit("FULL sweep body", f_sweep, state)
+for fill in ("dense", "patch"):
+    def f_sweep(st, _fill=fill):
+        st2, n_acc = _sweep_body(st, solve_tvl1, sc, trust2d, sal,
+                                 jnp.asarray(0), h, w, wr, bsz, 1, 4,
+                                 delta=0.05, fill=_fill)
+        # recycle: reset candidates so the sweep stays busy
+        return st2._replace(cand_e=st.cand_e, fixed=st.fixed)
+    timeit(f"FULL sweep body fill={fill}", f_sweep, state)
