@@ -61,6 +61,12 @@ def main():
     import numpy as np
     import jax
 
+    # the env var alone has been observed not to stick with the axon PJRT
+    # plugin — force it through the config API (verified to write cache files)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     # a DEAD tunnel makes jax.devices() block forever — whenever the axon
     # TPU backend could register (sitecustomize keys on PALLAS_AXON_POOL_IPS),
     # probe it in a subprocess with a timeout before touching the backend

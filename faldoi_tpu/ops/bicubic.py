@@ -201,6 +201,23 @@ def bicubic_window_sample(planes: jnp.ndarray, uu: jnp.ndarray,
     return r
 
 
+def bicubic_out_flag(ny: int, nx: int, uu: jnp.ndarray, vv: jnp.ndarray):
+    """The reference's out-of-domain flag (bicubic_interpolation_at,
+    bicubic_interpolation.c:146-163, incl. the row quirk) for GLOBAL
+    coordinates — for callers that sample from a local window/band whose
+    edges are not the image border (e.g. the spatially-sharded warp)."""
+    sx = jnp.where(uu < 0, -1, 1).astype(jnp.int32)
+    sy = jnp.where(vv < 0, -1, 1).astype(jnp.int32)
+    iu = uu.astype(jnp.int32)
+    iv = vv.astype(jnp.int32)
+    out = jnp.zeros(uu.shape, bool)
+    for p in (iu - sx, iu, iu + sx, iu + 2 * sx):
+        out = out | (p < 0) | (p >= nx)
+    for p in (iv - sx, iv, iv + sy, iv + 2 * sy):
+        out = out | (p < 0) | (p >= ny)
+    return out
+
+
 def bicubic_warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                  border_out: bool) -> jnp.ndarray:
     """Warp a whole image by the flow (u, v): out[i,j] = img(j+u, i+v)

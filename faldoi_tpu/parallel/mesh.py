@@ -140,64 +140,118 @@ def _divergence_sharded(v1, v2, axis_name):
     return dx + dy
 
 
-def spatial_tvl2_global(mesh: Mesh, i0, i1, u1, u2, iters=40, warps=1,
-                        lambda_=40.0, theta=0.3, tau=0.125):
-    """TV-L1 global refinement with H sharded over the 'space' axis.
+def _halo_exchange_band(x, d: int, axis_name):
+    """Append ``d`` boundary rows from each row-neighbour shard (leading
+    axis): returns (d + hs + d, ...) with the global edge shards replicating
+    their own edge row (Neumann-consistent, matching the C clamp)."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    from_below = jax.lax.ppermute(  # the d rows just below my last row
+        x[:d], axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    from_above = jax.lax.ppermute(  # the d rows just above my first row
+        x[-d:], axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    rep_top = jnp.broadcast_to(x[:1], (d,) + x.shape[1:])
+    rep_bot = jnp.broadcast_to(x[-1:], (d,) + x.shape[1:])
+    top = jnp.where(idx == 0, rep_top, from_above)
+    bot = jnp.where(idx == n - 1, rep_bot, from_below)
+    return jnp.concatenate([top, x, bot], axis=0)
 
-    The warp (a gather) runs on replicated frames; the PD stencil loop runs
-    fully sharded with 1-row ppermute halos per iteration — collectives ride
-    ICI, matching the scaling-book recipe for stencil workloads."""
+
+def spatial_tvl2_global(mesh: Mesh, i0, i1, u1, u2, iters=40, warps=1,
+                        lambda_=40.0, theta=0.3, tau=0.125,
+                        max_disp: int = 16):
+    """TV-L1 global refinement with H sharded over the 'space' axis —
+    frames INCLUDED: nothing is replicated.
+
+    Per warp, each shard samples the warped frame from its own rows plus a
+    ``max_disp``-row halo band ppermuted from the row-neighbour shards (the
+    bicubic stencil adds 2 rows, included in the band), so the gather stays
+    shard-local; the PD stencil loop runs with 1-row halos per iteration.
+    All collectives ride ICI.  Exact vs the unsharded solver while vertical
+    displacements satisfy |v| <= max_disp - 2; larger motions sample the
+    band edge (pick ``max_disp`` from the seed flow range; row
+    displacements only — columns are unsharded).
+    """
+    from faldoi_tpu.ops.bicubic import bicubic_interp_at, bicubic_out_flag
+
     l_t = lambda_ * theta
     n_space = mesh.shape["space"]
-    h = i0.shape[0]
+    h, w = i0.shape
     assert h % n_space == 0, "H must divide the space axis"
-
-    i1x, i1y = centered_gradient(i1)
+    hs = h // n_space
+    d = int(max_disp) + 2
+    assert d <= hs, "halo band exceeds the shard height"
 
     from jax.experimental.shard_map import shard_map
 
-    def pd_shard(i0s, i1ws, i1wxs, i1wys, u1s, u2s):
-        grad, rho_c = warp_constants(i0s, i1ws, i1wxs, i1wys, u1s, u2s)
-        xi11 = jnp.zeros_like(u1s)
-        xi12 = jnp.zeros_like(u1s)
-        xi21 = jnp.zeros_like(u1s)
-        xi22 = jnp.zeros_like(u1s)
+    def shard_fn(i0s, i1s, u1s, u2s):
+        # centered gradient of the sharded frame: 1-row halos; the edge
+        # shards' replicated rows reproduce mask.c's one-sided halves
+        i1pad = _halo_exchange_rows(i1s, "space")
+        pxc = jnp.concatenate([i1s[:, :1], i1s, i1s[:, -1:]], axis=1)
+        i1xs = 0.5 * (pxc[:, 2:] - pxc[:, :-2])
+        i1ys = 0.5 * (i1pad[2:, :] - i1pad[:-2, :])
+        stack = jnp.stack([i1s, i1xs, i1ys], axis=-1)  # rows leading
 
-        def body(_, st):
-            u1, u2, u1_, u2_, xi11, xi12, xi21, xi22 = st
-            v1, v2 = tvl1_threshold(u1, u2, rho_c, i1wxs, i1wys, grad, l_t)
-            u1x, u1y = _fwd_grad_sharded(u1_, "space")
-            u2x, u2y = _fwd_grad_sharded(u2_, "space")
-            xi11, xi12, xi21, xi22 = tvl2_getD(
-                xi11, xi12, xi21, xi22, u1x, u1y, u2x, u2y, tau
+        row0 = (jax.lax.axis_index("space") * hs).astype(jnp.float32)
+        rr = jnp.arange(hs, dtype=jnp.float32)[:, None]
+        cc = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+        def warp3(u1, u2):
+            band = _halo_exchange_band(stack, d, "space")  # (hs+2d, w, 3)
+            gx = cc + u1
+            gy_band = rr + u2 + d           # band-local row coordinate
+            gy_glob = row0 + rr + u2
+            i1w, i1wx, i1wy = (
+                bicubic_interp_at(band[..., k], gx, gy_band, False)
+                for k in range(3)
             )
-            d1 = _divergence_sharded(xi11, xi12, "space")
-            d2 = _divergence_sharded(xi21, xi22, "space")
-            nu1, nu2, _ = tvl2_getP(u1, u2, v1, v2, d1, d2, theta, tau)
-            return (nu1, nu2, 2 * nu1 - u1, 2 * nu2 - u2,
-                    xi11, xi12, xi21, xi22)
+            out = bicubic_out_flag(h, w, gx, gy_glob)
+            zero = jnp.zeros_like(i1w)
+            return (jnp.where(out, zero, i1w), jnp.where(out, zero, i1wx),
+                    jnp.where(out, zero, i1wy))
 
-        st = (u1s, u2s, u1s, u2s, xi11, xi12, xi21, xi22)
-        st = jax.lax.fori_loop(0, iters, body, st)
-        return st[0], st[1]
+        u1c, u2c = u1s, u2s
+        # duals persist ACROSS warps (tvl2OF takes xi from the caller and
+        # never re-zeroes it inside the warp loop, global_faldoi.cpp:556-882)
+        xi11 = jnp.zeros_like(u1c)
+        xi12 = jnp.zeros_like(u1c)
+        xi21 = jnp.zeros_like(u1c)
+        xi22 = jnp.zeros_like(u1c)
+        for _ in range(warps):
+            i1ws, i1wxs, i1wys = warp3(u1c, u2c)
+            grad, rho_c = warp_constants(i0s, i1ws, i1wxs, i1wys, u1c, u2c)
+
+            def body(_, st):
+                u1, u2, u1_, u2_, xi11, xi12, xi21, xi22 = st
+                v1, v2 = tvl1_threshold(u1, u2, rho_c, i1wxs, i1wys, grad,
+                                        l_t)
+                u1x, u1y = _fwd_grad_sharded(u1_, "space")
+                u2x, u2y = _fwd_grad_sharded(u2_, "space")
+                xi11, xi12, xi21, xi22 = tvl2_getD(
+                    xi11, xi12, xi21, xi22, u1x, u1y, u2x, u2y, tau
+                )
+                d1 = _divergence_sharded(xi11, xi12, "space")
+                d2 = _divergence_sharded(xi21, xi22, "space")
+                nu1, nu2, _ = tvl2_getP(u1, u2, v1, v2, d1, d2, theta, tau)
+                return (nu1, nu2, 2 * nu1 - u1, 2 * nu2 - u2,
+                        xi11, xi12, xi21, xi22)
+
+            st = (u1c, u2c, u1c, u2c, xi11, xi12, xi21, xi22)
+            st = jax.lax.fori_loop(0, iters, body, st)
+            u1c, u2c = st[0], st[1]
+            xi11, xi12, xi21, xi22 = st[4], st[5], st[6], st[7]
+        return u1c, u2c
 
     sharded = shard_map(
-        pd_shard,
+        shard_fn,
         mesh=mesh,
-        in_specs=(PS("space", None),) * 6,
+        in_specs=(PS("space", None),) * 4,
         out_specs=(PS("space", None), PS("space", None)),
     )
-
-    @jax.jit
-    def run(i0, i1, i1x, i1y, u1, u2):
-        for _ in range(warps):
-            i1w = bicubic_warp(i1, u1, u2, True)
-            i1wx = bicubic_warp(i1x, u1, u2, True)
-            i1wy = bicubic_warp(i1y, u1, u2, True)
-            u1, u2 = sharded(i0, i1w, i1wx, i1wy, u1, u2)
-        return u1, u2
-
-    return run(i0, i1, i1x, i1y, u1, u2)
+    return jax.jit(sharded)(i0, i1, u1, u2)
 
 
 def pipeline_train_step(mesh: Mesh, batch_i0, batch_i1, batch_seeds,

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Sweep-count / wall-clock experiment matrix for the TPU local step.
+
+Runs match_growing + tvl2_global on clean/easy with DeepMatching seeds for a
+list of growing configs, in ONE process (in-memory jit reuse + persistent
+compile cache), and appends one JSON line per config to EXPERIMENTS_r03.jsonl
+with wall-clock, per-iteration sweep counts, and rg/var/gt EPE.
+
+Usage: python scripts/tpu_experiments.py [config ...]
+Configs by name (default: block16 relax block16_relax flood).
+"""
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ROOT + "/.jax_cache")
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", ROOT + "/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+
+print(f"# device: {jax.devices()[0]}", flush=True)
+
+from faldoi_tpu.io import read_flo
+from faldoi_tpu.io.image import read_image_split
+from faldoi_tpu.core.preprocess import prepare_pair
+from faldoi_tpu.core.match_growing import match_growing
+from faldoi_tpu.core.global_step import tvl2_global
+from faldoi_tpu import params as P
+
+BASE = "/root/reference/example_data/clean/easy/"
+GOLD = ROOT + "/tests/golden/"
+OUT = ROOT + "/EXPERIMENTS_r03.jsonl"
+
+# base = the parity-validated r2 default (measured 559.4s local, var 0.0271,
+# rg 0.4257 on TPU v5lite); every config below changes ONE lever vs base
+BASE_KW = dict(bsz=8192, mode="chunked", delta=0.01, fill="patch",
+               relax=False, delta_rel=0.5, floor_scale=64, block=0)
+CONFIGS = {
+    "base": {},
+    "block16": dict(block=16),
+    "block32": dict(block=32),
+    "relax": dict(relax=True),
+    "block16_relax": dict(block=16, relax=True),
+    # pure top-k flood: delta=inf + full floor -> sweep-count lower bound
+    "flood": dict(delta=float("inf"), floor=8192, floor_scale=0),
+    "bsz16k": dict(bsz=16384, block=16),
+}
+
+
+def main():
+    i0 = read_image_split(BASE + "frame_0002.png")
+    i1 = read_image_split(BASE + "frame_0003.png")
+    go = read_flo(GOLD + "deep_mt_1.flo")
+    ba = read_flo(GOLD + "deep_mt_2.flo")
+    gt = read_flo(BASE + "gt/frame_0002.flo")
+    ref_rg = read_flo(GOLD + "deep_rg.flo")
+    ref_var = read_flo(GOLD + "deep_var.flo")
+
+    a, b = prepare_pair(i0, i1)
+    prm = P.Parameters()
+    prm.val_method = P.M_TVL1
+    prm.iterations_of = P.LOCAL_ITER
+    prm.epsilon = P.FB_TOL
+
+    names = sys.argv[1:] or ["block16", "relax", "block16_relax", "flood"]
+    for name in names:
+        kw = dict(BASE_KW, **CONFIGS[name])
+        print(f"=== {name}: {kw} ===", flush=True)
+        t0 = time.time()
+        flow, ene, _ = match_growing(go, ba, a, b, prm, verbose=True, **kw)
+        t_local = time.time() - t0
+        t0 = time.time()
+        u1, u2 = tvl2_global(a, b, jnp.asarray(flow[..., 0]),
+                             jnp.asarray(flow[..., 1]))
+        out = np.stack([np.asarray(u1), np.asarray(u2)], -1)
+        t_glob = time.time() - t0
+        fin = np.isfinite(flow[..., 0]) & np.isfinite(ref_rg[..., 0])
+        rec = {
+            "config": name, "kw": {k: str(v) for k, v in kw.items()},
+            "local_s": round(t_local, 1), "global_s": round(t_glob, 1),
+            "rg_epe": round(float(np.hypot(
+                flow[..., 0] - ref_rg[..., 0],
+                flow[..., 1] - ref_rg[..., 1])[fin].mean()), 4),
+            "var_epe": round(float(np.hypot(
+                out[..., 0] - ref_var[..., 0],
+                out[..., 1] - ref_var[..., 1]).mean()), 4),
+            "gt_epe": round(float(np.hypot(
+                out[..., 0] - gt[..., 0],
+                out[..., 1] - gt[..., 1]).mean()), 4),
+        }
+        print(json.dumps(rec), flush=True)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

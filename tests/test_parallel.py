@@ -25,7 +25,9 @@ def test_dp_global_refine_sharded():
 
 
 def test_spatial_sharding_matches_single_device():
-    """The halo-exchange PD solve must agree with the unsharded solver."""
+    """The halo-exchange PD solve (frames sharded, warp from the halo band
+    — no replicated planes) must agree with the unsharded solver, including
+    a nonzero initial flow that makes the warp cross shard boundaries."""
     from faldoi_tpu.parallel import make_mesh, spatial_tvl2_global
     from faldoi_tpu.core.global_step import tvl2_global
 
@@ -33,13 +35,25 @@ def test_spatial_sharding_matches_single_device():
     h, w = 32, 64
     i0 = jnp.asarray(rng.rand(h, w).astype(np.float32))
     i1 = jnp.asarray(rng.rand(h, w).astype(np.float32))
+    yy = jnp.broadcast_to(jnp.linspace(-1.5, 1.5, h)[:, None], (h, w))
+    u0 = 0.8 * jnp.sin(yy)          # |u| < 1
+    v0 = yy                         # |v| <= 1.5 crosses the 8-row shards
     z = jnp.zeros((h, w), jnp.float32)
 
     mesh = make_mesh(1, 4)
-    s1, s2 = spatial_tvl2_global(mesh, i0, i1, z, z, iters=20, warps=1)
-    r1, r2 = tvl2_global(i0, i1, z, z, warps=1, max_iters=20, tol=0.0)
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), atol=2e-5)
+    # warps=2 locks the dual-carry-across-warps semantics (tvl2OF never
+    # re-zeroes xi inside the warp loop).  The warps=2 tolerance is looser:
+    # the unsharded path warps via the MXU window formulation
+    # (bicubic_warp_stack) while shards use the exact gather — different
+    # float32 summation order, amplified by these random-noise images'
+    # O(0.5) gradients (real frames match to ~4e-5, see git history).
+    for u_init, v_init, wrp, atol in ((z, z, 1, 2e-5), (u0, v0, 2, 1e-3)):
+        s1, s2 = spatial_tvl2_global(mesh, i0, i1, u_init, v_init,
+                                     iters=20, warps=wrp, max_disp=4)
+        r1, r2 = tvl2_global(i0, i1, u_init, v_init, warps=wrp, max_iters=20,
+                             tol=0.0)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), atol=atol)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), atol=atol)
 
 
 def test_pipeline_train_step():
