@@ -89,20 +89,30 @@ def init_state(h: int, w: int) -> GrowState:
 RECLAIM_BIAS = 1.0e6
 
 
-def _patch_geometry(idx, h, w, wr):
-    """get_index_patch (utils.cpp:36-54) for flat indices."""
+def _patch_geometry(idx, h, w, wr, ymin=0, ymax=None):
+    """get_index_patch (utils.cpp:36-54) for flat indices.
+
+    ``ymin``/``ymax`` clamp the patch box vertically — the spatially-sharded
+    growing passes the shard's global-image bounds in extended-domain
+    coordinates so interior shard edges do NOT clamp (only the true image
+    border does)."""
+    if ymax is None:
+        ymax = h
     i = idx % w
     j = idx // w
-    oy = jnp.maximum(j - wr, 0)
+    oy = jnp.maximum(j - wr, ymin)
     ox = jnp.maximum(i - wr, 0)
-    ph = jnp.minimum(j + 1 + wr, h) - oy
+    ph = jnp.minimum(j + 1 + wr, ymax) - oy
     pw = jnp.minimum(i + 1 + wr, w) - ox
     return i, j, oy, ox, ph, pw
 
 
 def _scatter_min_payload(tgt_e, tgt_u, tgt_v, tgt_c, q, e, u, v, c, ok, dump):
-    """Scatter (e,u,v,chi) to positions q where ok, keeping per-slot minimum
-    e.  Ties may write either payload (equal-energy payloads equivalent)."""
+    """Scatter (e,u,v[,chi]) to positions q where ok, keeping per-slot
+    minimum e.  Ties may write either payload (equal-energy payloads
+    equivalent).  ``tgt_c``/``c`` may be None (chi skipped: every scatter op
+    costs ~1.4 ms on TPU at this size, and chi is identically 0 for all
+    non-occlusion methods)."""
     qs = jnp.where(ok, q, dump)
     e_masked = jnp.where(ok, e, jnp.inf)
     tgt_e = tgt_e.at[qs].min(e_masked)
@@ -110,13 +120,16 @@ def _scatter_min_payload(tgt_e, tgt_u, tgt_v, tgt_c, q, e, u, v, c, ok, dump):
     qw = jnp.where(winner, q, dump)
     tgt_u = tgt_u.at[qw].set(u)
     tgt_v = tgt_v.at[qw].set(v)
-    tgt_c = tgt_c.at[qw].set(c)
+    if tgt_c is not None:
+        tgt_c = tgt_c.at[qw].set(c)
     return tgt_e, tgt_u, tgt_v, tgt_c
 
 
 def _scatter_max_payload(key_buf, tgt_u, tgt_v, tgt_c, q, key, u, v, c, ok,
                          dump):
-    """Scatter (u,v,chi) to q where ok, keeping payload of the maximum key."""
+    """Scatter (u,v[,chi]) to q where ok, keeping payload of the maximum
+    key.  Also returns the accumulated key plane (cross-shard merges need
+    it).  ``tgt_c``/``c`` may be None (see _scatter_min_payload)."""
     qs = jnp.where(ok, q, dump)
     k_masked = jnp.where(ok, key, -jnp.inf)
     key_buf = key_buf.at[qs].max(k_masked)
@@ -124,8 +137,9 @@ def _scatter_max_payload(key_buf, tgt_u, tgt_v, tgt_c, q, key, u, v, c, ok,
     qw = jnp.where(winner, q, dump)
     tgt_u = tgt_u.at[qw].set(u)
     tgt_v = tgt_v.at[qw].set(v)
-    tgt_c = tgt_c.at[qw].set(c)
-    return tgt_u, tgt_v, tgt_c
+    if tgt_c is not None:
+        tgt_c = tgt_c.at[qw].set(c)
+    return key_buf, tgt_u, tgt_v, tgt_c
 
 
 def _dense_fill(fixed2d, out2d, iters=0):
@@ -157,8 +171,19 @@ def _sweep_body(
     h, w, wr, bsz, warps, max_iters,
     delta=jnp.inf, fill="patch", floor=None, relax=True,
     relax_margin=0.95, delta_rel=0.0, floor_scale=0, block=0,
+    owned=None, ybounds=None, row_offset=None, band_axis=None,
+    with_wkey=False, with_chi=True,
 ):
     """One wavefront sweep. Returns (state, n_accepted).
+
+    Spatial-sharding hooks (all default-off; see parallel/spatial_grow):
+    ``owned`` masks eligibility to the shard's own rows, ``ybounds`` clamps
+    patch boxes / neighbour inserts at the true image border instead of the
+    extended-domain edge, ``row_offset`` translates extended-domain rows to
+    global rows for the solver's image-plane reads, ``band_axis`` pmins the
+    delta-band anchor across shards (preserving the GLOBAL acceptance
+    order), ``with_wkey`` additionally returns the working-flow scatter key
+    plane so cross-shard overlaps merge with the same max-energy rule.
 
     ``delta`` is the Delta-stepping band: only candidates within ``delta`` of
     the sweep's minimum energy are accepted (plus the top-bsz cut).  A tight
@@ -190,6 +215,8 @@ def _sweep_body(
         eligible = jnp.where(improving, key, jnp.inf)
     else:
         eligible = jnp.where(state.fixed[:n], jnp.inf, state.cand_e[:n])
+    if owned is not None:
+        eligible = jnp.where(owned[:n], eligible, jnp.inf)
     neg_e, idx = jax.lax.top_k(-eligible, bsz)
     valid = jnp.isfinite(neg_e)
     e_pop = -neg_e
@@ -202,6 +229,10 @@ def _sweep_body(
         floor = bsz // 16
     rank = jnp.arange(bsz)
     e_min = e_pop[0]
+    if band_axis is not None:
+        # anchor the band at the GLOBAL minimum eligible energy so the
+        # sharded acceptance tracks the same serial order as unsharded
+        e_min = jax.lax.pmin(e_min, band_axis)
     # the acceptance band: absolute delta near zero energy, relative
     # (delta_rel * e_min) once energies grow — the serial heap's order
     # matters most between LOW-energy fronts (they decide who claims
@@ -251,7 +282,8 @@ def _sweep_body(
     idx_s = jnp.where(valid, idx, dump)
     n_acc = valid.sum()
 
-    i, j, oy, ox, ph, pw = _patch_geometry(idx, h, w, wr)
+    ymin, ymax = (0, h) if ybounds is None else ybounds
+    i, j, oy, ox, ph, pw = _patch_geometry(idx, h, w, wr, ymin, ymax)
 
     # --- fix accepted candidates (local_growing pop, :899-937)
     pop_u = state.cand_u[idx]
@@ -261,7 +293,8 @@ def _sweep_body(
     fixed = state.fixed.at[idx_s].set(True)
     out_u = state.out_u.at[idx_s].set(pop_u)
     out_v = state.out_v.at[idx_s].set(pop_v)
-    out_chi = state.out_chi.at[idx_s].set(pop_c)
+    out_chi = (state.out_chi.at[idx_s].set(pop_c) if with_chi
+               else state.out_chi)
     ene = state.ene.at[idx_s].set(pop_e)
     cand_e = state.cand_e.at[idx_s].set(jnp.inf)
 
@@ -271,6 +304,7 @@ def _sweep_body(
     # All state planes are stacked channels-LAST and cropped with ONE
     # vmapped dynamic_slice per patch: separate per-plane crops cost ~5.5x
     # more on TPU (the minor-dim-contiguous (p, p, C) slice vectorises).
+    # The chi planes ride along only for the occlusion method (with_chi).
     planes = [
         fixed[:n].reshape(h, w).astype(jnp.float32),
         out_u[:n].reshape(h, w),
@@ -278,9 +312,10 @@ def _sweep_body(
         state.wu[:n].reshape(h, w),
         state.wv[:n].reshape(h, w),
         trust2d,
-        out_chi[:n].reshape(h, w),
-        state.wchi[:n].reshape(h, w),
     ]
+    if with_chi:
+        planes.append(out_chi[:n].reshape(h, w))
+        planes.append(state.wchi[:n].reshape(h, w))
     if fill == "dense":
         fixed2d = fixed[:n].reshape(h, w)
         planes.append(_dense_fill(fixed2d, out_u[:n].reshape(h, w)))
@@ -289,6 +324,8 @@ def _sweep_body(
         jnp.stack(planes, axis=-1), ((0, p), (0, p), (0, 0)), mode="edge"
     )
     nch = stack.shape[-1]
+    chi_ch = 6 if with_chi else None
+    fill_ch = 8 if with_chi else 6
 
     def build_init(oy_k, ox_k, ph_k, pw_k):
         inbox = (rows < ph_k) & (cols < pw_k)
@@ -297,12 +334,17 @@ def _sweep_body(
         ou, ov = pl[..., 1], pl[..., 2]
         wu_p, wv_p = pl[..., 3], pl[..., 4]
         tr = pl[..., 5]
-        oc, wc_p = pl[..., 6], pl[..., 7]
         if fill == "dense":
-            fill_u, fill_v = pl[..., 8], pl[..., 9]
+            fill_u, fill_v = pl[..., fill_ch], pl[..., fill_ch + 1]
         else:
-            fill_u = poisson_fill_canvas(jnp.where(fxp, ou, jnp.nan), ph_k, pw_k)
-            fill_v = poisson_fill_canvas(jnp.where(fxp, ov, jnp.nan), ph_k, pw_k)
+            # "patch_rb" = red-black relaxation (cheap, parity-validated for
+            # the TVL1/NLTV families); "patch" = reference-exact raster GS
+            # (required by the inert-TV CSAD family m4-m7 — see ops/poisson)
+            ex = fill != "patch_rb"
+            fill_u = poisson_fill_canvas(jnp.where(fxp, ou, jnp.nan), ph_k,
+                                         pw_k, exact=ex)
+            fill_v = poisson_fill_canvas(jnp.where(fxp, ov, jnp.nan), ph_k,
+                                         pw_k, exact=ex)
         alt_u = jnp.where(fxp, ou, wu_p)
         alt_v = jnp.where(fxp, ov, wv_p)
         bad_alt = jnp.any(inbox & ~(jnp.isfinite(alt_u) & jnp.isfinite(alt_v)))
@@ -310,10 +352,14 @@ def _sweep_body(
         use_fill = (iteration == 0) | untrusted | bad_alt
         u0 = jnp.where(use_fill, fill_u, alt_u)
         v0 = jnp.where(use_fill, fill_v, alt_v)
-        # chi init: fixed pixels use out values, else working chi (0 default)
-        c0 = jnp.where(fxp, oc, jnp.where(jnp.isfinite(wc_p), wc_p, 0.0))
-        return (jnp.where(inbox, u0, 0.0), jnp.where(inbox, v0, 0.0),
-                jnp.where(inbox, c0, 0.0))
+        if with_chi:
+            oc, wc_p = pl[..., chi_ch], pl[..., chi_ch + 1]
+            # chi init: fixed px use out values, else working chi (0 default)
+            c0 = jnp.where(fxp, oc, jnp.where(jnp.isfinite(wc_p), wc_p, 0.0))
+            c0 = jnp.where(inbox, c0, 0.0)
+        else:
+            c0 = jnp.zeros_like(u0)
+        return (jnp.where(inbox, u0, 0.0), jnp.where(inbox, v0, 0.0), c0)
 
     # lane-major batch layout: canvases are (P, P, B) so the batch fills
     # the 128-wide vector lanes (a (B, 11, 11) layout wastes ~96% of each
@@ -321,9 +367,13 @@ def _sweep_body(
     u_init, v_init, c_init = jax.vmap(build_init, out_axes=-1)(oy, ox, ph, pw)
 
     # --- batched patch PD solve (of_estimation dispatcher)
+    # row_offset translates extended-domain rows to GLOBAL rows: the solver
+    # reads the (replicated) full-image planes and warps in global coords
+    roff = 0 if row_offset is None else row_offset
+
     def solve(i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0):
-        return solver(sconsts, i_k, j_k, oy_k, ox_k, ph_k, pw_k, u0, v0, c0,
-                      p, warps, max_iters, wr)
+        return solver(sconsts, i_k, j_k + roff, oy_k + roff, ox_k,
+                      ph_k, pw_k, u0, v0, c0, p, warps, max_iters, wr)
 
     su, sv, schi, ener = jax.vmap(
         solve, in_axes=(0, 0, 0, 0, 0, 0, -1, -1, -1), out_axes=(-1, -1, -1, 0)
@@ -340,42 +390,65 @@ def _sweep_body(
     # the donation scatter-min reproduces that intra-batch information flow
     # (the key fidelity mechanism that makes large sweeps track the strict
     # priority order).
+    # All four directions go through ONE (4*bsz,) scatter pair: the
+    # scatter-min makes per-direction sequencing redundant (collisions
+    # resolve to the same minimum either way; ties may pick a different
+    # equal-energy payload), and each separate scatter op costs ~1.4 ms on
+    # TPU at this size — the split-loop version was the single largest
+    # per-sweep cost (8 payload calls = 32 scatter ops ~ 44 ms).
     prev_fixed = state.fixed
     cand_u, cand_v, cand_chi = state.cand_u, state.cand_v, state.cand_chi
+    qs, es, nus, nvs, ncs, oks, okds = [], [], [], [], [], [], []
     for (dx, dy) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
         qi = i + dx
         qj = j + dy
-        inb = (qi >= 0) & (qi < w) & (qj >= 0) & (qj < h) & valid
+        inb = (qi >= 0) & (qi < w) & (qj >= ymin) & (qj < ymax) & valid
         q = jnp.where(inb, qj * w + qi, dump)
         new_e = ener * sal[q]
-        nu = su[cy + dy, cx + dx, bidx]
-        nv = sv[cy + dy, cx + dx, bidx]
-        nc = schi[cy + dy, cx + dx, bidx]
         if relax:
             ok = inb & (new_e < cand_e[q]) & (
                 new_e < ene[q] * relax_margin - 1e-6
             )
         else:
             ok = inb & ~fixed[q] & (new_e < cand_e[q])
-        cand_e, cand_u, cand_v, cand_chi = _scatter_min_payload(
-            cand_e, cand_u, cand_v, cand_chi, q, new_e, nu, nv, nc, ok, dump
-        )
         accepted_now = fixed[q] & ~prev_fixed[q]
         ok_don = inb & accepted_now & (new_e < ene[q])
-        ene, out_u, out_v, out_chi = _scatter_min_payload(
-            ene, out_u, out_v, out_chi, q, new_e, nu, nv, nc, ok_don, dump
-        )
+        qs.append(q)
+        es.append(new_e)
+        nus.append(su[cy + dy, cx + dx, bidx])
+        nvs.append(sv[cy + dy, cx + dx, bidx])
+        if with_chi:
+            ncs.append(schi[cy + dy, cx + dx, bidx])
+        oks.append(ok)
+        okds.append(ok_don)
+    q4 = jnp.concatenate(qs)
+    e4 = jnp.concatenate(es)
+    nu4 = jnp.concatenate(nus)
+    nv4 = jnp.concatenate(nvs)
+    nc4 = jnp.concatenate(ncs) if with_chi else None
+    cand_chi_t = cand_chi if with_chi else None
+    out_chi_t = out_chi if with_chi else None
+    cand_e, cand_u, cand_v, cand_chi_t = _scatter_min_payload(
+        cand_e, cand_u, cand_v, cand_chi_t, q4, e4, nu4, nv4, nc4,
+        jnp.concatenate(oks), dump,
+    )
+    ene, out_u, out_v, out_chi_t = _scatter_min_payload(
+        ene, out_u, out_v, out_chi_t, q4, e4, nu4, nv4, nc4,
+        jnp.concatenate(okds), dump,
+    )
+    if with_chi:
+        cand_chi, out_chi = cand_chi_t, out_chi_t
 
     # --- centre update (add_neighbors :718-726), after donations so the
     # comparison target matches the serial pop value
     s_cu = su[cy, cx, bidx]
     s_cv = sv[cy, cx, bidx]
-    s_cc = schi[cy, cx, bidx]
     better = valid & (ener < ene[idx_s])
     upd = jnp.where(better, idx, dump)
     out_u = out_u.at[upd].set(s_cu)
     out_v = out_v.at[upd].set(s_cv)
-    out_chi = out_chi.at[upd].set(s_cc)
+    if with_chi:
+        out_chi = out_chi.at[upd].set(schi[cy, cx, bidx])
     ene = ene.at[upd].set(jnp.where(better, ener, jnp.inf))
 
     # --- persistent working-flow scatter (max-energy wins == later-pop wins)
@@ -388,14 +461,20 @@ def _sweep_body(
     flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
     key = jnp.broadcast_to(ener[None, None, :], su.shape).reshape(-1)
     key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
-    wu, wv, wchi = _scatter_max_payload(
-        key_buf, state.wu, state.wv, state.wchi, flat_q, key,
-        su.reshape(-1), sv.reshape(-1), schi.reshape(-1),
+    wkey, wu, wv, wchi = _scatter_max_payload(
+        key_buf, state.wu, state.wv,
+        state.wchi if with_chi else None, flat_q, key,
+        su.reshape(-1), sv.reshape(-1),
+        schi.reshape(-1) if with_chi else None,
         cell_ok.reshape(-1), dump,
     )
+    if not with_chi:
+        wchi = state.wchi
 
     new_state = GrowState(fixed, out_u, out_v, ene, cand_u, cand_v, cand_e,
                           wu, wv, out_chi, cand_chi, wchi)
+    if with_wkey:
+        return new_state, n_acc, wkey
     return new_state, n_acc
 
 
@@ -404,7 +483,7 @@ def _sweep_body(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block",
+        "floor_scale", "block", "with_chi",
     ),
 )
 def grow_to_completion(
@@ -415,7 +494,7 @@ def grow_to_completion(
     warps: int, max_iters: int, delta: float = float("inf"),
     fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
-    floor_scale: int = 0, block: int = 0,
+    floor_scale: int = 0, block: int = 0, with_chi: bool = True,
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
@@ -434,7 +513,7 @@ def grow_to_completion(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=floor_scale, block=block,
+            floor_scale=floor_scale, block=block, with_chi=with_chi,
         )
         return (st, n_acc, sweeps + 1)
 
@@ -448,7 +527,7 @@ def grow_to_completion(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block",
+        "floor_scale", "block", "with_chi",
     ),
 )
 def grow_step(
@@ -459,7 +538,7 @@ def grow_step(
     warps: int, max_iters: int, delta: float = float("inf"),
     fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
-    floor_scale: int = 0, block: int = 0,
+    floor_scale: int = 0, block: int = 0, with_chi: bool = True,
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
     while_loop program is too large for the remote TPU compiler; also handy
@@ -472,7 +551,7 @@ def grow_step(
         h, w, wr, bsz, warps, max_iters,
         delta=delta, fill=fill, floor=floor, relax=relax,
         relax_margin=relax_margin, delta_rel=delta_rel,
-        floor_scale=floor_scale, block=block,
+        floor_scale=floor_scale, block=block, with_chi=with_chi,
     )
 
 
@@ -481,7 +560,7 @@ def grow_step(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "chunk", "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block",
+        "floor_scale", "block", "with_chi",
     ),
 )
 def grow_chunk(
@@ -492,7 +571,7 @@ def grow_chunk(
     warps: int, max_iters: int, delta: float = float("inf"),
     chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
-    floor_scale: int = 0, block: int = 0,
+    floor_scale: int = 0, block: int = 0, with_chi: bool = True,
 ):
     """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
     latency (significant through the tunneled TPU) without the compile cost
@@ -512,7 +591,7 @@ def grow_chunk(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=floor_scale, block=block,
+            floor_scale=floor_scale, block=block, with_chi=with_chi,
         )
         return (st, n_acc, k + 1)
 
@@ -526,7 +605,7 @@ def grow_chunk(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
         "chunk", "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block",
+        "floor_scale", "block", "with_chi",
     ),
 )
 def grow_chunk_pair(
@@ -537,7 +616,7 @@ def grow_chunk_pair(
     warps: int, max_iters: int, delta: float = float("inf"),
     chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
-    floor_scale: int = 0, block: int = 0,
+    floor_scale: int = 0, block: int = 0, with_chi: bool = True,
 ):
     """Bounded-chunk drain of BOTH growing directions in one program.
 
@@ -559,7 +638,7 @@ def grow_chunk_pair(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=floor_scale, block=block,
+            floor_scale=floor_scale, block=block, with_chi=with_chi,
         ),
         in_axes=(0, 0, 0, 0, None),
     )
@@ -580,7 +659,8 @@ def grow_chunk_pair(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("solver", "h", "w", "bsz", "warps", "max_iters"),
+    static_argnames=("solver", "h", "w", "bsz", "warps", "max_iters",
+                     "with_chi"),
 )
 def seed_batch(
     state: GrowState,
@@ -590,7 +670,7 @@ def seed_batch(
     solver, sconsts,
     sal,
     h: int, w: int, bsz: int,
-    warps: int, max_iters: int,
+    warps: int, max_iters: int, with_chi: bool = True,
 ):
     """insert_initial_seeds (:748-796): 3x3 solves around each seed with only
     the seed fixed; pushes 4-neighbour candidates; seeds themselves are fixed
@@ -627,20 +707,27 @@ def seed_batch(
     cx = i - ox
     bidx = jnp.arange(bsz)
     cand_u, cand_v, cand_e = state.cand_u, state.cand_v, state.cand_e
-    cand_chi = state.cand_chi
+    cand_chi = state.cand_chi if with_chi else None
+    qs, es, nus, nvs, ncs, oks = [], [], [], [], [], []
     for (dx, dy) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
         qi = i + dx
         qj = j + dy
         inb = (qi >= 0) & (qi < w) & (qj >= 0) & (qj < h) & seed_valid
         q = jnp.where(inb, qj * w + qi, dump)
         new_e = ener * sal[q]
-        ok = inb & (new_e < cand_e[q])
-        nu = su[bidx, cy + dy, cx + dx]
-        nv = sv[bidx, cy + dy, cx + dx]
-        nc = schi[bidx, cy + dy, cx + dx]
-        cand_e, cand_u, cand_v, cand_chi = _scatter_min_payload(
-            cand_e, cand_u, cand_v, cand_chi, q, new_e, nu, nv, nc, ok, dump
-        )
+        qs.append(q)
+        es.append(new_e)
+        oks.append(inb & (new_e < cand_e[q]))
+        nus.append(su[bidx, cy + dy, cx + dx])
+        nvs.append(sv[bidx, cy + dy, cx + dx])
+        if with_chi:
+            ncs.append(schi[bidx, cy + dy, cx + dx])
+    cand_e, cand_u, cand_v, cand_chi = _scatter_min_payload(
+        cand_e, cand_u, cand_v, cand_chi, jnp.concatenate(qs),
+        jnp.concatenate(es), jnp.concatenate(nus), jnp.concatenate(nvs),
+        jnp.concatenate(ncs) if with_chi else None,
+        jnp.concatenate(oks), dump,
+    )
 
     gy = oy[None, None, :] + rows[..., None]
     gx = ox[None, None, :] + cols[..., None]
@@ -651,13 +738,17 @@ def seed_batch(
     flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
     key = jnp.broadcast_to(ener[None, None, :], su.shape).reshape(-1)
     key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
-    wu, wv, wchi = _scatter_max_payload(
-        key_buf, state.wu, state.wv, state.wchi, flat_q, key,
-        su.reshape(-1), sv.reshape(-1), schi.reshape(-1),
+    _, wu, wv, wchi = _scatter_max_payload(
+        key_buf, state.wu, state.wv,
+        state.wchi if with_chi else None, flat_q, key,
+        su.reshape(-1), sv.reshape(-1),
+        schi.reshape(-1) if with_chi else None,
         cell_ok.reshape(-1), dump,
     )
-    return state._replace(cand_u=cand_u, cand_v=cand_v, cand_e=cand_e,
-                          cand_chi=cand_chi, wu=wu, wv=wv, wchi=wchi)
+    return state._replace(
+        cand_u=cand_u, cand_v=cand_v, cand_e=cand_e,
+        cand_chi=cand_chi if with_chi else state.cand_chi,
+        wu=wu, wv=wv, wchi=wchi if with_chi else state.wchi)
 
 
 class LocalSolver:
@@ -668,7 +759,7 @@ class LocalSolver:
                  warps=1, max_iters=4, seed_bsz=2048,
                  mode="fused", delta=float("inf"), chunk=16, fused=None,
                  fill="patch", floor=None, relax=True, relax_margin=0.95,
-                 delta_rel=0.0, floor_scale=0, block=0):
+                 delta_rel=0.0, floor_scale=0, block=0, with_chi=True):
         bsz = min(bsz, h * w)
         self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
         self.seed_bsz = seed_bsz
@@ -687,7 +778,7 @@ class LocalSolver:
         self.delta_rel = delta_rel
         self.floor_scale = floor_scale
         self.block = block
-        self.kw = dict(warps=warps, max_iters=max_iters)
+        self.kw = dict(warps=warps, max_iters=max_iters, with_chi=with_chi)
 
     def insert_seeds(self, state: GrowState, seeds: np.ndarray,
                      sconsts, sal) -> GrowState:

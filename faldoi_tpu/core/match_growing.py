@@ -114,7 +114,7 @@ def _flow2d(state: GrowState, h, w):
     static_argnames=(
         "solver", "iterations", "h", "w", "wr", "bsz", "warps", "max_iters",
         "delta", "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block",
+        "floor_scale", "block", "with_chi",
     ),
 )
 def _iterated_growing(
@@ -124,6 +124,7 @@ def _iterated_growing(
     h: int, w: int, wr: int, bsz: int, warps: int, max_iters: int,
     delta: float, fill: str, floor, relax: bool, relax_margin: float,
     delta_rel: float = 0.0, floor_scale: int = 0, block: int = 0,
+    with_chi: bool = True,
 ):
     """The ENTIRE post-seed local step as ONE device program: per outer
     iteration {fwd drain, bwd drain, FB prune, delete+requeue}, then the
@@ -155,7 +156,7 @@ def _iterated_growing(
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=floor_scale, block=block,
+            floor_scale=floor_scale, block=block, with_chi=with_chi,
         ),
         in_axes=(0, 0, 0, 0, None),
     )
@@ -267,6 +268,16 @@ def match_growing(
     if os.environ.get("FALDOI_GROW_CHUNK"):
         chunk = int(os.environ["FALDOI_GROW_CHUNK"])
     fill = os.environ.get("FALDOI_GROW_FILL", fill)
+    if fill == "patch" and prm.val_method not in (
+        P.M_TVCSAD, P.M_TVCSAD_W, P.M_NLTVCSAD, P.M_NLTVCSAD_W
+    ):
+        # method-dependent fill exactness: only the inert-TV CSAD family
+        # passes the Poisson init through to its output; everyone else is
+        # parity-validated with the ~10x cheaper red-black relaxation
+        # (pass fill="patch_exact"/FALDOI_FILL_EXACT=1 to force raster GS)
+        fill = "patch_rb"
+    elif fill == "patch_exact":
+        fill = "patch"
     h, w = i0n.shape
     n = h * w
     lam, theta, tau = method_local_params(prm.val_method, prm.w_radio)
@@ -323,12 +334,15 @@ def match_growing(
     # (tvl2_model_occ.cpp:653 reads ofD->params.iterations_of)
     pd_cap = (prm.iterations_of if prm.val_method == P.M_TVL1_OCC
               else prm.max_iter_patch)
+    # chi (occlusion) state only flows for method 8 — skipping its scatter
+    # and crop channels saves ~15% of the sweep cost for everyone else
+    with_chi = prm.val_method == P.M_TVL1_OCC
     ls = LocalSolver(
         h, w, wr=prm.w_radio, bsz=bsz, solver=solver,
         warps=prm.warps, max_iters=max(pd_cap, 1),
         mode=mode, delta=delta, chunk=chunk, fused=fused, fill=fill,
         floor=floor, relax=relax, delta_rel=delta_rel,
-        floor_scale=floor_scale, block=block,
+        floor_scale=floor_scale, block=block, with_chi=with_chi,
     )
 
     import time
@@ -360,7 +374,7 @@ def match_growing(
             solver, prm.iterations_of,
             h, w, prm.w_radio, ls.bsz, prm.warps, max(pd_cap, 1),
             delta, fill, ls.floor, relax, ls.relax_margin, delta_rel,
-            floor_scale, block,
+            floor_scale, block, with_chi,
         )
         if verbose:
             jax.block_until_ready(st_go)

@@ -67,33 +67,44 @@ def _neighbors_clamped(y, ph, pw, p):
     return right, left, down, up
 
 
-def _relax(y, hole, ph, pw, timestep, niter, p):
-    """EXACT raster-order Gauss-Seidel on the valid box (only hole pixels
-    move), reproducing ``perform_one_iteration`` (elap_recsep.c:49-68).
+def _relax(y, hole, ph, pw, timestep, niter, p, exact=True):
+    """Gauss-Seidel relaxation of the holes on the valid box, reproducing
+    ``perform_one_iteration`` (elap_recsep.c:49-68).
 
-    Raster GS on the 5-point stencil decomposes exactly into anti-diagonal
-    wavefronts: updating (r, c) reads already-updated (r-1, c) and (r, c-1)
-    — both on diagonal r+c-1 — and not-yet-updated (r+1, c), (r, c+1) on
-    diagonal r+c+1, so processing diagonals 0..2p-2 in order with all cells
-    of a diagonal in parallel produces bit-identical values to the serial
-    raster loop.  (The C code's early break at maxupdate < 1e-10 is a no-op
-    difference: a converged hole's Laplacian is 0, so further sweeps don't
-    move it.)
+    ``exact=True``: EXACT raster-order GS.  Raster GS on the 5-point stencil
+    decomposes exactly into anti-diagonal wavefronts: updating (r, c) reads
+    already-updated (r-1, c) and (r, c-1) — both on diagonal r+c-1 — and
+    not-yet-updated (r+1, c), (r, c+1) on diagonal r+c+1, so processing
+    diagonals 0..2p-2 in order with all cells of a diagonal in parallel
+    produces bit-identical values to the serial raster loop.  (The C code's
+    early break at maxupdate < 1e-10 is a no-op difference: a converged
+    hole's Laplacian is 0, so further sweeps don't move it.)  Cost: 2p-1
+    sequential full-canvas steps per sweep.
 
-    Deviation note: earlier rounds used red-black GS here; its init values
-    differ from the reference by up to ~0.35 and the CSAD-family local
-    solvers (whose TV term is inert, see core/functionals.py) pass that
-    init difference straight into their output.  Set FALDOI_FILL_RB=1 to
-    get the cheaper red-black variant back.
+    ``exact=False``: red-black GS — ~10x cheaper (2 half-sweeps instead of
+    2p-1 diagonal steps) but its values differ from the reference by up to
+    ~0.35.  That difference only matters where the fill value survives into
+    the output: the CSAD-family local solvers (m4-m7) have an inert TV term
+    (see core/functionals.py) and pass the init straight through, so they
+    need ``exact=True``; the TVL1/NLTV families re-solve the patch and are
+    parity-validated with red-black (r2: full-pipeline var EPE 0.0272).
+
+    Env overrides for experiments: FALDOI_FILL_RB=1 forces red-black,
+    FALDOI_FILL_EXACT=1 forces exact.
     """
     import os
+
+    if os.environ.get("FALDOI_FILL_RB") == "1":
+        exact = False
+    elif os.environ.get("FALDOI_FILL_EXACT") == "1":
+        exact = True
 
     rows = jnp.arange(p)[:, None]
     cols = jnp.arange(p)[None, :]
     inbox = (rows < ph) & (cols < pw)
     diag = rows + cols
 
-    if os.environ.get("FALDOI_FILL_RB") == "1":
+    if not exact:
         red = diag % 2 == 0
 
         def halfsweep(y, color_mask):
@@ -152,10 +163,12 @@ def poisson_fill_canvas(
     timestep: float = 0.4,
     niter: int = 3,
     scale: int = 7,
+    exact: bool = True,
 ) -> jnp.ndarray:
     """Fill NaNs of a (P, P) canvas whose valid region is [0, ph) x [0, pw).
 
     Values outside the valid box are ignored and returned as 0.
+    ``exact``: raster-order GS (reference-exact) vs red-black (see _relax).
     """
     p = x.shape[0]
     sizes = _level_sizes(p, scale)
@@ -180,18 +193,22 @@ def poisson_fill_canvas(
         hole = ~jnp.isfinite(xk)
         y = jnp.where(inbox, jnp.where(hole, init, xk), 0.0)
         y = jnp.where(jnp.isfinite(y), y, 0.0)
-        out = _relax(y, hole, phs[k], pws[k], timestep, niter, sizes[k])
+        out = _relax(y, hole, phs[k], pws[k], timestep, niter, sizes[k],
+                     exact=exact)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("timestep", "niter", "scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("timestep", "niter", "scale", "exact"))
 def poisson_fill_batch(
     x: jnp.ndarray, ph: jnp.ndarray, pw: jnp.ndarray,
-    timestep: float = 0.4, niter: int = 3, scale: int = 7
+    timestep: float = 0.4, niter: int = 3, scale: int = 7,
+    exact: bool = True,
 ) -> jnp.ndarray:
     """vmap of poisson_fill_canvas over a (B, P, P) batch with (B,) boxes."""
     return jax.vmap(
-        lambda xi, phi, pwi: poisson_fill_canvas(xi, phi, pwi, timestep, niter, scale)
+        lambda xi, phi, pwi: poisson_fill_canvas(xi, phi, pwi, timestep,
+                                                 niter, scale, exact)
     )(x, ph, pw)
 
 

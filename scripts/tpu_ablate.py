@@ -149,7 +149,7 @@ state = state._replace(cand_e=jnp.concatenate([cand, jnp.full((1,), jnp.inf)]),
                        cand_u=jnp.zeros((n + 1,)), cand_v=jnp.zeros((n + 1,)))
 sal = jnp.ones((n + 1,), jnp.float32)
 trust2d = jnp.ones((h, w), jnp.float32)
-for fill in ("dense", "patch"):
+for fill in ("dense", "patch", "patch_rb"):
     def f_sweep(st, _fill=fill):
         st2, n_acc = _sweep_body(st, solve_tvl1, sc, trust2d, sal,
                                  jnp.asarray(0), h, w, wr, bsz, 1, 4,
