@@ -171,6 +171,7 @@ def _sweep_body(
     h, w, wr, bsz, warps, max_iters,
     delta=jnp.inf, fill="patch", floor=None, relax=True,
     relax_margin=0.95, delta_rel=0.0, floor_scale=0, block=0,
+    floor_scale_hi=0, queue_hi=1 << 30,
     owned=None, ybounds=None, row_offset=None, band_axis=None,
     with_wkey=False, with_chi=True,
 ):
@@ -272,12 +273,23 @@ def _sweep_body(
     # where it decides the result (measured: rg 2.69 px vs the reference on
     # a sparse 192x256 crop).  Scale the floor with the queue so sparse
     # phases degrade to (near-)serial delta-band acceptance.
-    if floor_scale:
-        queue = jnp.isfinite(eligible).sum()
-        floor_dyn = jnp.minimum(max(floor, 1),
-                                jnp.maximum(1, queue // floor_scale))
-    else:
-        floor_dyn = max(floor, 1)
+    queue = jnp.isfinite(eligible).sum()
+    floor_base = jnp.maximum(jnp.asarray(floor, jnp.int32), 1)
+    # staged throttle: rank-floor flooding only destroys the serial order
+    # when the queue is a handful of racing fronts (the r2 sparse-crop
+    # failure); once the frontier is LARGE, many independent fronts are
+    # active and a looser scale is safe (measured: floor=4096 in dense
+    # phases keeps var EPE at 0.0272).  queue >= queue_hi switches the
+    # divisor from floor_scale to floor_scale_hi.
+    fs_lo = jnp.maximum(jnp.asarray(floor_scale, jnp.int32), 1)
+    fs_hi = jnp.asarray(floor_scale_hi, jnp.int32)
+    q_hi = jnp.asarray(queue_hi, jnp.int32)
+    fscale = jnp.where((fs_hi > 0) & (queue >= q_hi), fs_hi, fs_lo)
+    floor_dyn = jnp.where(
+        fscale > 1,
+        jnp.minimum(floor_base, jnp.maximum(1, queue // fscale)),
+        floor_base,
+    )
     valid = valid & (e_ok | (rank < floor_dyn))
     idx_s = jnp.where(valid, idx, dump)
     n_acc = valid.sum()
@@ -481,9 +493,8 @@ def _sweep_body(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block", "with_chi",
+        "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
+        "fill", "relax", "block", "with_chi",
     ),
 )
 def grow_to_completion(
@@ -495,6 +506,7 @@ def grow_to_completion(
     fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
+    floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
@@ -514,6 +526,7 @@ def grow_to_completion(
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
             floor_scale=floor_scale, block=block, with_chi=with_chi,
+            floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
         )
         return (st, n_acc, sweeps + 1)
 
@@ -525,9 +538,8 @@ def grow_to_completion(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block", "with_chi",
+        "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
+        "fill", "relax", "block", "with_chi",
     ),
 )
 def grow_step(
@@ -539,6 +551,7 @@ def grow_step(
     fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
+    floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
     while_loop program is too large for the remote TPU compiler; also handy
@@ -552,15 +565,15 @@ def grow_step(
         delta=delta, fill=fill, floor=floor, relax=relax,
         relax_margin=relax_margin, delta_rel=delta_rel,
         floor_scale=floor_scale, block=block, with_chi=with_chi,
+        floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "chunk", "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block", "with_chi",
+        "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
+        "chunk", "fill", "relax", "block", "with_chi",
     ),
 )
 def grow_chunk(
@@ -572,6 +585,7 @@ def grow_chunk(
     chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
+    floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
 ):
     """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
     latency (significant through the tunneled TPU) without the compile cost
@@ -592,6 +606,7 @@ def grow_chunk(
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
             floor_scale=floor_scale, block=block, with_chi=with_chi,
+            floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
         )
         return (st, n_acc, k + 1)
 
@@ -603,9 +618,8 @@ def grow_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "solver", "h", "w", "wr", "bsz", "warps", "max_iters", "delta",
-        "chunk", "fill", "floor", "relax", "relax_margin", "delta_rel",
-        "floor_scale", "block", "with_chi",
+        "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
+        "chunk", "fill", "relax", "block", "with_chi",
     ),
 )
 def grow_chunk_pair(
@@ -617,6 +631,7 @@ def grow_chunk_pair(
     chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
+    floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
 ):
     """Bounded-chunk drain of BOTH growing directions in one program.
 
@@ -639,22 +654,27 @@ def grow_chunk_pair(
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
             floor_scale=floor_scale, block=block, with_chi=with_chi,
+            floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
         ),
         in_axes=(0, 0, 0, 0, None),
     )
 
     def cond(carry):
-        _, n_acc, k = carry
+        _, n_acc, _mx, k = carry
         return jnp.logical_and(n_acc.sum() > 0, k < chunk)
 
     def body(carry):
-        s, _, k = carry
+        s, _, mx, k = carry
         s, acc = sweep_pair(s, sc2, trust2d, sal2, iteration)
-        return (s, acc, k + 1)
+        return (s, acc, jnp.maximum(mx, acc.max()), k + 1)
 
-    carry = (st2, jnp.ones((2,), jnp.int32), jnp.asarray(0, jnp.int32))
-    st2, n_acc, _ = jax.lax.while_loop(cond, body, carry)
-    return st2, n_acc
+    carry = (st2, jnp.ones((2,), jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32))
+    st2, n_acc, max_acc, _ = jax.lax.while_loop(cond, body, carry)
+    # max_acc = the largest single-sweep acceptance in this chunk — the
+    # caller's signal for adaptive batch sizing (max_acc == bsz means the
+    # top-k cut truncated the acceptance band: upshift)
+    return st2, n_acc, max_acc
 
 
 @functools.partial(
@@ -759,7 +779,8 @@ class LocalSolver:
                  warps=1, max_iters=4, seed_bsz=2048,
                  mode="fused", delta=float("inf"), chunk=16, fused=None,
                  fill="patch", floor=None, relax=True, relax_margin=0.95,
-                 delta_rel=0.0, floor_scale=0, block=0, with_chi=True):
+                 delta_rel=0.0, floor_scale=0, block=0, with_chi=True,
+                 floor_scale_hi=0, queue_hi=1 << 30):
         bsz = min(bsz, h * w)
         self.h, self.w, self.wr, self.bsz = h, w, wr, bsz
         self.seed_bsz = seed_bsz
@@ -777,8 +798,11 @@ class LocalSolver:
         self.relax_margin = relax_margin
         self.delta_rel = delta_rel
         self.floor_scale = floor_scale
+        self.floor_scale_hi = floor_scale_hi
+        self.queue_hi = queue_hi
         self.block = block
-        self.kw = dict(warps=warps, max_iters=max_iters, with_chi=with_chi)
+        self.kw = dict(warps=warps, max_iters=max_iters, with_chi=with_chi,
+                       floor_scale_hi=floor_scale_hi, queue_hi=queue_hi)
 
     def insert_seeds(self, state: GrowState, seeds: np.ndarray,
                      sconsts, sal) -> GrowState:
@@ -798,7 +822,9 @@ class LocalSolver:
             vmask = jnp.asarray(np.pad(np.ones(len(chunk), bool), (0, pad)))
             state = seed_batch(
                 state, idx, cu, cv, vmask, self.solver, sconsts, sal,
-                h, w, b, **self.kw
+                h, w, b, warps=self.kw["warps"],
+                max_iters=self.kw["max_iters"],
+                with_chi=self.kw["with_chi"],
             )
         # re-fix seeds with original flow and zero energy (:785-795)
         idx = jnp.asarray(np.concatenate([pos, [n]]))
@@ -869,15 +895,31 @@ class LocalSolver:
         device, hiding the host->device sync latency (~340 ms through the
         tunneled TPU); the one trailing chunk after a drain is all no-op
         sweeps (empty top-k).
+
+        ADAPTIVE BATCH: the sweep cost is linear in bsz (measured: 12 ms at
+        1024 -> 91 ms at 8192 full-size) while the delta-band acceptance
+        averages a few hundred lanes in the long sparse phases, so each
+        chunk runs at the smallest power-of-two batch covering the
+        previous chunk's peak acceptance.  The accept rule is
+        bsz-INVARIANT (the rank floor is pinned to the nominal bsz//16, so
+        the accepted set only depends on bsz through top-k truncation,
+        which is caught by max_acc == bsz and upshifted next chunk —
+        truncation only makes the order stricter, never looser).
         """
         it = jnp.asarray(iteration, jnp.int32)
         self.last_sweeps = 0
         pending = None
+        # pin the rank floor to the NOMINAL batch so adaptation cannot
+        # change the acceptance rule
+        floor = self.floor
+        if floor is None:
+            floor = self.bsz if self.relax else max(1, self.bsz // 16)
+        cur = min(1024, self.bsz)
         for _ in range(max_sweeps):
-            st2, n_acc = grow_chunk_pair(
+            st2, n_acc, max_acc = grow_chunk_pair(
                 st2, self.solver, sc2, trust2, sal2, it,
-                self.h, self.w, self.wr, self.bsz, delta=self.delta,
-                chunk=self.chunk, fill=self.fill, floor=self.floor,
+                self.h, self.w, self.wr, cur, delta=self.delta,
+                chunk=self.chunk, fill=self.fill, floor=floor,
                 relax=self.relax, relax_margin=self.relax_margin,
                 delta_rel=self.delta_rel, floor_scale=self.floor_scale,
                 block=self.block, **self.kw
@@ -893,6 +935,12 @@ class LocalSolver:
                 if pending is not None and int(pending.sum()) == 0:
                     break
                 pending = n_acc
+            mx = int(max_acc)
+            if mx >= cur and cur < self.bsz:
+                cur = min(cur * 4, self.bsz)       # truncated: upshift fast
+            elif mx < cur // 3 and cur > 512:
+                tgt = max(512, 1 << (mx + mx // 2).bit_length())
+                cur = max(512, min(tgt, self.bsz))  # downshift to fit
         return st2
 
     def _grow_step_mode(self, state, sconsts, trust, sal, it, max_sweeps):

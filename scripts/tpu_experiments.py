@@ -52,6 +52,28 @@ CONFIGS = {
     # pure top-k flood: delta=inf + full floor -> sweep-count lower bound
     "flood": dict(delta=float("inf"), floor=8192, floor_scale=0),
     "bsz16k": dict(bsz=16384, block=16),
+    # dense-phase floor raises: floor_dyn = min(floor, queue//64) — the
+    # sparse-phase throttle (queue//64) is untouched, only large-queue
+    # (requeue) phases accept more per sweep
+    "floor1k": dict(floor=1024),
+    "floor2k": dict(floor=2048),
+    "floor4k": dict(floor=4096),
+    "floor8k": dict(floor=8192),
+    "floor8k_d02": dict(floor=8192, delta=0.02),
+    "floor8k_16k": dict(floor=16384, bsz=16384),
+    # staged sparse throttle: queue//64 while the queue is small (the
+    # parity-critical racing-fronts regime), queue//fs_hi once the
+    # frontier is large
+    "staged16": dict(floor=8192, floor_scale_hi=16, queue_hi=32768),
+    "staged8": dict(floor=8192, floor_scale_hi=8, queue_hi=32768),
+    "staged4_q64": dict(floor=8192, floor_scale_hi=4, queue_hi=65536),
+    "staged16_q64": dict(floor=4096, floor_scale_hi=16, queue_hi=65536),
+    "staged16_rerun": dict(floor=4096, floor_scale_hi=16, queue_hi=32768),
+    "floor4k_rerun": dict(floor=4096),
+    # looser band everywhere
+    "d02": dict(delta=0.02),
+    "drel1": dict(delta_rel=1.0),
+    "fs32": dict(floor_scale=32),
 }
 
 
