@@ -914,7 +914,15 @@ class LocalSolver:
         floor = self.floor
         if floor is None:
             floor = self.bsz if self.relax else max(1, self.bsz // 16)
-        cur = min(1024, self.bsz)
+        # power-of-two ladder: every distinct bsz is a separate
+        # traced+compiled program (amortised by the persistent compile
+        # cache); a sparser {512,2048,8192} ladder was measured SLOWER
+        # end-to-end (196.6 s vs 159.2 s) — the intermediate sizes earn
+        # their trace time
+        ladder = tuple(b for b in (512, 1024, 2048, 4096, 8192)
+                       if b < self.bsz)
+        ladder = ladder + (self.bsz,)
+        cur = ladder[min(1, len(ladder) - 1)]
         for _ in range(max_sweeps):
             st2, n_acc, max_acc = grow_chunk_pair(
                 st2, self.solver, sc2, trust2, sal2, it,
@@ -936,11 +944,12 @@ class LocalSolver:
                     break
                 pending = n_acc
             mx = int(max_acc)
-            if mx >= cur and cur < self.bsz:
-                cur = min(cur * 4, self.bsz)       # truncated: upshift fast
-            elif mx < cur // 3 and cur > 512:
-                tgt = max(512, 1 << (mx + mx // 2).bit_length())
-                cur = max(512, min(tgt, self.bsz))  # downshift to fit
+            if mx >= cur and cur < ladder[-1]:
+                cur = ladder[min(ladder.index(cur) + 1, len(ladder) - 1)]
+            elif mx < cur // 3 and cur > ladder[0]:
+                # smallest ladder step with headroom over the recent peak
+                cur = next((b for b in ladder if b >= mx + mx // 2),
+                           ladder[-1])
         return st2
 
     def _grow_step_mode(self, state, sconsts, trust, sal, it, max_sweeps):
