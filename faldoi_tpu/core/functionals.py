@@ -157,6 +157,9 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
                        p, warps, max_iters, wr, weighted):
     from faldoi_tpu.core.patch_solver import crop_padded
 
+    # measurement-only ablations (see local_step._sweep_body)
+    _ablate = os.environ.get("FALDOI_ABLATE", "")
+
     rows, cols, inbox, gx, gy = _canvas_setup(p, oy, ox, ph, pw, u1.dtype)
     i0_patch = crop_padded(sc.i0pad, oy, ox, p)
     l_t = sc.lambda_ * sc.theta
@@ -171,7 +174,10 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     v1, v2 = u1, u2
 
     for _ in range(warps):
-        i1w, i1wx, i1wy = _warp3(sc.i1_stack, gx, gy, u1, u2, inbox)
+        if "nowarp" in _ablate:
+            i1w, i1wx, i1wy = u1 * 0.1, u1 * 0.01, u2 * 0.01
+        else:
+            i1w, i1wx, i1wy = _warp3(sc.i1_stack, gx, gy, u1, u2, inbox)
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1 - i1wy * u2 - i0_patch
 
@@ -195,7 +201,8 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
 
         st = (u1, u2, u1, u2, *xi, v1, v2,
               jnp.asarray(jnp.inf, u1.dtype), jnp.asarray(0, jnp.int32))
-        st = jax.lax.while_loop(cond, body, st)
+        if "nopd" not in _ablate:
+            st = jax.lax.while_loop(cond, body, st)
         u1, u2 = st[0], st[1]
         xi = st[4:8]
         v1, v2 = st[8], st[9]
@@ -207,7 +214,10 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     v2 = jnp.where(inbox, v2, 0.0)
     u1x, u1y = forward_gradient_patch(u1, ph, pw)
     u2x, u2y = forward_gradient_patch(u2, ph, pw)
-    i1w = _warp1(sc.i1_stack, gx, gy, u1, u2, inbox)
+    if "noeval" in _ablate:
+        i1w = u1 * 0.1
+    else:
+        i1w = _warp1(sc.i1_stack, gx, gy, u1, u2, inbox)
     dt = sc.lambda_ * jnp.abs(i1w - i0_patch) * (w2d if weighted else 1.0)
     dc = (1.0 / (2.0 * sc.theta)) * ((u1 - v1) ** 2 + (u2 - v2) ** 2)
     g = jnp.sqrt(u1x * u1x + u1y * u1y + u2x * u2x + u2y * u2y)

@@ -126,10 +126,30 @@ def _scatter_min_payload(tgt_e, tgt_u, tgt_v, tgt_c, q, e, u, v, c, ok, dump):
 
 
 def _scatter_max_payload(key_buf, tgt_u, tgt_v, tgt_c, q, key, u, v, c, ok,
-                         dump):
+                         dump, exact=None):
     """Scatter (u,v[,chi]) to q where ok, keeping payload of the maximum
     key.  Also returns the accumulated key plane (cross-shard merges need
-    it).  ``tgt_c``/``c`` may be None (see _scatter_min_payload)."""
+    it).  ``tgt_c``/``c`` may be None (see _scatter_min_payload).
+
+    ``exact=False`` skips the max-key winner resolution (one scatter-max +
+    one 1M-element gather, together ~17 ms/sweep at bsz=8192): intra-sweep
+    collisions then resolve in XLA's unspecified-but-deterministic scatter
+    order instead of by max energy.  Only valid for the working-flow plane
+    (an init heuristic — colliding writes within one delta band are
+    near-ties; parity measured unchanged, EXPERIMENTS_r03.jsonl), never for
+    the candidate/output min-scatters.  FALDOI_WSCATTER=exact restores the
+    max-key rule; cross-shard merges always use exact (they need key_buf)."""
+    import os as _os
+
+    if exact is None:
+        exact = _os.environ.get("FALDOI_WSCATTER", "approx") == "exact"
+    if not exact:
+        qw = jnp.where(ok, q, dump)
+        tgt_u = tgt_u.at[qw].set(u)
+        tgt_v = tgt_v.at[qw].set(v)
+        if tgt_c is not None:
+            tgt_c = tgt_c.at[qw].set(c)
+        return key_buf, tgt_u, tgt_v, tgt_c
     qs = jnp.where(ok, q, dump)
     k_masked = jnp.where(ok, key, -jnp.inf)
     key_buf = key_buf.at[qs].max(k_masked)
@@ -197,6 +217,13 @@ def _sweep_body(
     n = h * w
     dump = n
     p = 2 * wr + 1
+
+    # measurement-only ablations (trace-time env; run in a fresh process):
+    # FALDOI_ABLATE=nofill|nosolve|nowscatter — cuts that phase out of the
+    # program (XLA DCEs the dead chain) so its true in-program cost can be
+    # measured by difference.  NEVER set in production.
+    import os as _os
+    _ablate = _os.environ.get("FALDOI_ABLATE", "")
 
     if relax:
         # LABEL-CORRECTING RELAXATION (Bellman-Ford where the reference's
@@ -351,17 +378,27 @@ def _sweep_body(
         else:
             # "patch_rb" = red-black relaxation (cheap, parity-validated for
             # the TVL1/NLTV families); "patch" = reference-exact raster GS
-            # (required by the inert-TV CSAD family m4-m7 — see ops/poisson)
+            # (required by the inert-TV CSAD family m4-m7 — see ops/poisson).
+            # u and v fill as ONE channel-vmapped chain: the fill is
+            # latency-bound (~30 sequential tiny ops), so halving the op
+            # count halves its per-sweep cost (channels are independent in
+            # the reference too, elap_recsep.c:225-232).
             ex = fill != "patch_rb"
-            fill_u = poisson_fill_canvas(jnp.where(fxp, ou, jnp.nan), ph_k,
-                                         pw_k, exact=ex)
-            fill_v = poisson_fill_canvas(jnp.where(fxp, ov, jnp.nan), ph_k,
-                                         pw_k, exact=ex)
+            fuv = jax.vmap(
+                lambda cc: poisson_fill_canvas(cc, ph_k, pw_k, exact=ex),
+                in_axes=-1, out_axes=-1,
+            )(jnp.stack([jnp.where(fxp, ou, jnp.nan),
+                         jnp.where(fxp, ov, jnp.nan)], axis=-1))
+            fill_u, fill_v = fuv[..., 0], fuv[..., 1]
         alt_u = jnp.where(fxp, ou, wu_p)
         alt_v = jnp.where(fxp, ov, wv_p)
         bad_alt = jnp.any(inbox & ~(jnp.isfinite(alt_u) & jnp.isfinite(alt_v)))
         untrusted = jnp.any(inbox & (tr == 0))
         use_fill = (iteration == 0) | untrusted | bad_alt
+        if "nofill" in _ablate:
+            use_fill = jnp.asarray(False)
+            alt_u = jnp.nan_to_num(alt_u)
+            alt_v = jnp.nan_to_num(alt_v)
         u0 = jnp.where(use_fill, fill_u, alt_u)
         v0 = jnp.where(use_fill, fill_v, alt_v)
         if with_chi:
@@ -387,9 +424,14 @@ def _sweep_body(
         return solver(sconsts, i_k, j_k + roff, oy_k + roff, ox_k,
                       ph_k, pw_k, u0, v0, c0, p, warps, max_iters, wr)
 
-    su, sv, schi, ener = jax.vmap(
-        solve, in_axes=(0, 0, 0, 0, 0, 0, -1, -1, -1), out_axes=(-1, -1, -1, 0)
-    )(i, j, oy, ox, ph, pw, u_init, v_init, c_init)
+    if "nosolve" in _ablate:
+        su, sv, schi = u_init, v_init, c_init
+        ener = jnp.sum(u_init, axis=(0, 1)) * 1e-6
+    else:
+        su, sv, schi, ener = jax.vmap(
+            solve, in_axes=(0, 0, 0, 0, 0, 0, -1, -1, -1),
+            out_axes=(-1, -1, -1, 0)
+        )(i, j, oy, ox, ph, pw, u_init, v_init, c_init)
 
     cy = j - oy
     cx = i - ox
@@ -473,13 +515,18 @@ def _sweep_body(
     flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
     key = jnp.broadcast_to(ener[None, None, :], su.shape).reshape(-1)
     key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
-    wkey, wu, wv, wchi = _scatter_max_payload(
-        key_buf, state.wu, state.wv,
-        state.wchi if with_chi else None, flat_q, key,
-        su.reshape(-1), sv.reshape(-1),
-        schi.reshape(-1) if with_chi else None,
-        cell_ok.reshape(-1), dump,
-    )
+    if "nowscatter" in _ablate:
+        wkey, wu, wv, wchi = key_buf, state.wu, state.wv, state.wchi
+    else:
+        wkey, wu, wv, wchi = _scatter_max_payload(
+            key_buf, state.wu, state.wv,
+            state.wchi if with_chi else None, flat_q, key,
+            su.reshape(-1), sv.reshape(-1),
+            schi.reshape(-1) if with_chi else None,
+            cell_ok.reshape(-1), dump,
+            # cross-shard merges consume the key plane -> exact required
+            exact=True if with_wkey else None,
+        )
     if not with_chi:
         wchi = state.wchi
 
@@ -706,9 +753,12 @@ def seed_batch(
     def build_init(oy_k, ox_k, ph_k, pw_k, j_k, i_k, u_k, v_k):
         inbox = (rows < ph_k) & (cols < pw_k)
         is_center = ((oy_k + rows) == j_k) & ((ox_k + cols) == i_k)
-        fu = poisson_fill_canvas(jnp.where(is_center, u_k, jnp.nan), ph_k, pw_k)
-        fv = poisson_fill_canvas(jnp.where(is_center, v_k, jnp.nan), ph_k, pw_k)
-        return jnp.where(inbox, fu, 0.0), jnp.where(inbox, fv, 0.0)
+        fuv = jax.vmap(
+            lambda cc: poisson_fill_canvas(cc, ph_k, pw_k),
+            in_axes=-1, out_axes=-1,
+        )(jnp.stack([jnp.where(is_center, u_k, jnp.nan),
+                     jnp.where(is_center, v_k, jnp.nan)], axis=-1))
+        return jnp.where(inbox, fuv[..., 0], 0.0), jnp.where(inbox, fuv[..., 1], 0.0)
 
     u_init, v_init = jax.vmap(build_init, out_axes=-1)(
         oy, ox, ph, pw, j, i, seed_u, seed_v

@@ -191,10 +191,19 @@ def bicubic_window_sample(planes: jnp.ndarray, uu: jnp.ndarray,
             (rel_x + k)[:, None] == rx, wxs[k].reshape(s)[:, None], 0.0
         )
 
-    t = jnp.einsum("sr,crk->csk", wy_mat, window,
-                   precision=lax.Precision.HIGHEST)
-    r = jnp.einsum("csk,sk->cs", t, wx_mat,
-                   precision=lax.Precision.HIGHEST)
+    # Contraction precision: f32 inputs on the MXU run as multi-pass bf16;
+    # HIGHEST (6 passes) reproduces f32 accumulation, HIGH (3 passes) is
+    # ~2x faster at ~2^-18 relative error.  The weight rows are 4-sparse
+    # one-hots whose values are exact in bf16 head+tails, so HIGH's error
+    # is well under the solver tol (0.01^2); parity measured unchanged
+    # (EXPERIMENTS_r03.jsonl: prec=high).  FALDOI_WARP_PREC=highest restores
+    # the bit-conservative path.
+    import os as _os
+    _prec = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
+             "default": lax.Precision.DEFAULT}[
+        _os.environ.get("FALDOI_WARP_PREC", "high")]
+    t = jnp.einsum("sr,crk->csk", wy_mat, window, precision=_prec)
+    r = jnp.einsum("csk,sk->cs", t, wx_mat, precision=_prec)
     r = r.reshape((c,) + shape)
     if border_out:
         r = jnp.where(out[None], 0.0, r)
