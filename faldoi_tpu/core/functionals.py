@@ -100,6 +100,26 @@ def make_solver_consts(method, i0pad, i1, i1x, i1y, lam, theta, tau, tol,
     return SolverConsts(**kw)
 
 
+def _bounded_pd_loop(cond, body, st, max_iters, unroll_limit=8):
+    """Run the tol-gated PD iteration either as a ``lax.while_loop`` or — for
+    the local step's tiny caps (max_iter_patch=4) — as a STATIC masked
+    unroll: each step computes body(st) and keeps the old state where
+    ``cond`` already failed.  Values are identical to the (vmapped)
+    while_loop (frozen lanes keep their state either way), but the unrolled
+    form has no control-flow barrier, so XLA fuses the whole solve into a
+    few kernels instead of round-tripping the carry through HBM every
+    iteration (measured ~20 ms/sweep at bsz=8192 for the while_loop form).
+    """
+    if max_iters > unroll_limit:
+        return jax.lax.while_loop(cond, body, st)
+    for _ in range(max_iters):
+        new = jax.tree.map(lambda a: jnp.asarray(a), body(st))
+        keep = jnp.logical_not(cond(st))
+        st = jax.tree.map(
+            lambda old, nw: jnp.where(keep, old, nw), st, new)
+    return st
+
+
 def _canvas_setup(p, oy, ox, ph, pw, dtype):
     rows = jnp.arange(p)[:, None]
     cols = jnp.arange(p)[None, :]
@@ -202,7 +222,7 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
         st = (u1, u2, u1, u2, *xi, v1, v2,
               jnp.asarray(jnp.inf, u1.dtype), jnp.asarray(0, jnp.int32))
         if "nopd" not in _ablate:
-            st = jax.lax.while_loop(cond, body, st)
+            st = _bounded_pd_loop(cond, body, st, max_iters)
         u1, u2 = st[0], st[1]
         xi = st[4:8]
         v1, v2 = st[8], st[9]
@@ -377,7 +397,7 @@ def _solve_nltv_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
 
         st = (u1, u2, u1, u2, sc_p, sc_q, v1, v2,
               jnp.asarray(jnp.inf, u1.dtype), jnp.asarray(0, jnp.int32))
-        st = jax.lax.while_loop(cond, body, st)
+        st = _bounded_pd_loop(cond, body, st, max_iters)
         u1, u2, _, _, sc_p, sc_q, v1, v2 = st[:8]
 
     # eval (nltv_model.cpp:69-156); out-of-box canvas cells can hold
@@ -490,7 +510,7 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
 
         st = (u1, u2, u1, u2, reg_state, v1, v2,
               jnp.asarray(jnp.inf, u1.dtype), jnp.asarray(0, jnp.int32))
-        st = jax.lax.while_loop(cond, body, st)
+        st = _bounded_pd_loop(cond, body, st, max_iters)
         u1, u2, _, _, reg_state, v1, v2 = st[:7]
 
     # eval (tvcsad_model.cpp:87-175 / nltvcsad analogues); sanitize

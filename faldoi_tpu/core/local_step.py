@@ -193,9 +193,15 @@ def _sweep_body(
     relax_margin=0.95, delta_rel=0.0, floor_scale=0, block=0,
     floor_scale_hi=0, queue_hi=1 << 30,
     owned=None, ybounds=None, row_offset=None, band_axis=None,
-    with_wkey=False, with_chi=True,
+    with_wkey=False, with_chi=True, first_iter=False,
 ):
     """One wavefront sweep. Returns (state, n_accepted).
+
+    ``first_iter`` (static) specialises the iteration-0 sweep: every patch
+    init uses the Poisson fill (use_fill is unconditionally true when
+    ``iteration == 0``), so the working-flow/trust crop channels are dead —
+    a 3-channel crop instead of 6 (the vmapped dynamic_slice crop is the
+    third-largest per-sweep cost).  Values identical to the generic path.
 
     Spatial-sharding hooks (all default-off; see parallel/spatial_grow):
     ``owned`` masks eligibility to the shard's own rows, ``ybounds`` clamps
@@ -344,14 +350,20 @@ def _sweep_body(
     # vmapped dynamic_slice per patch: separate per-plane crops cost ~5.5x
     # more on TPU (the minor-dim-contiguous (p, p, C) slice vectorises).
     # The chi planes ride along only for the occlusion method (with_chi).
+    # ``lean``: iteration-0 specialisation — use_fill is always true, so the
+    # working-flow/trust channels are never read; crop only 3 channels.
+    lean = first_iter and fill != "dense" and not with_chi
     planes = [
         fixed[:n].reshape(h, w).astype(jnp.float32),
         out_u[:n].reshape(h, w),
         out_v[:n].reshape(h, w),
-        state.wu[:n].reshape(h, w),
-        state.wv[:n].reshape(h, w),
-        trust2d,
     ]
+    if not lean:
+        planes += [
+            state.wu[:n].reshape(h, w),
+            state.wv[:n].reshape(h, w),
+            trust2d,
+        ]
     if with_chi:
         planes.append(out_chi[:n].reshape(h, w))
         planes.append(state.wchi[:n].reshape(h, w))
@@ -371,8 +383,12 @@ def _sweep_body(
         pl = jax.lax.dynamic_slice(stack, (oy_k, ox_k, 0), (p, p, nch))
         fxp = (pl[..., 0] > 0.5) & inbox
         ou, ov = pl[..., 1], pl[..., 2]
-        wu_p, wv_p = pl[..., 3], pl[..., 4]
-        tr = pl[..., 5]
+        if lean:
+            wu_p = wv_p = jnp.full_like(ou, jnp.nan)
+            tr = jnp.ones_like(ou)
+        else:
+            wu_p, wv_p = pl[..., 3], pl[..., 4]
+            tr = pl[..., 5]
         if fill == "dense":
             fill_u, fill_v = pl[..., fill_ch], pl[..., fill_ch + 1]
         else:
@@ -390,17 +406,22 @@ def _sweep_body(
             )(jnp.stack([jnp.where(fxp, ou, jnp.nan),
                          jnp.where(fxp, ov, jnp.nan)], axis=-1))
             fill_u, fill_v = fuv[..., 0], fuv[..., 1]
-        alt_u = jnp.where(fxp, ou, wu_p)
-        alt_v = jnp.where(fxp, ov, wv_p)
-        bad_alt = jnp.any(inbox & ~(jnp.isfinite(alt_u) & jnp.isfinite(alt_v)))
-        untrusted = jnp.any(inbox & (tr == 0))
-        use_fill = (iteration == 0) | untrusted | bad_alt
-        if "nofill" in _ablate:
-            use_fill = jnp.asarray(False)
-            alt_u = jnp.nan_to_num(alt_u)
-            alt_v = jnp.nan_to_num(alt_v)
-        u0 = jnp.where(use_fill, fill_u, alt_u)
-        v0 = jnp.where(use_fill, fill_v, alt_v)
+        if lean:
+            u0, v0 = fill_u, fill_v
+            alt_u = alt_v = None
+        else:
+            alt_u = jnp.where(fxp, ou, wu_p)
+            alt_v = jnp.where(fxp, ov, wv_p)
+            bad_alt = jnp.any(
+                inbox & ~(jnp.isfinite(alt_u) & jnp.isfinite(alt_v)))
+            untrusted = jnp.any(inbox & (tr == 0))
+            use_fill = (iteration == 0) | untrusted | bad_alt
+            if "nofill" in _ablate:
+                use_fill = jnp.asarray(False)
+                alt_u = jnp.nan_to_num(alt_u)
+                alt_v = jnp.nan_to_num(alt_v)
+            u0 = jnp.where(use_fill, fill_u, alt_u)
+            v0 = jnp.where(use_fill, fill_v, alt_v)
         if with_chi:
             oc, wc_p = pl[..., chi_ch], pl[..., chi_ch + 1]
             # chi init: fixed px use out values, else working chi (0 default)
@@ -541,7 +562,7 @@ def _sweep_body(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
-        "fill", "relax", "block", "with_chi",
+        "fill", "relax", "block", "with_chi", "first_iter",
     ),
 )
 def grow_to_completion(
@@ -554,6 +575,7 @@ def grow_to_completion(
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
+    first_iter: bool = False,
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
@@ -574,6 +596,7 @@ def grow_to_completion(
             relax_margin=relax_margin, delta_rel=delta_rel,
             floor_scale=floor_scale, block=block, with_chi=with_chi,
             floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
+            first_iter=first_iter,
         )
         return (st, n_acc, sweeps + 1)
 
@@ -586,7 +609,7 @@ def grow_to_completion(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
-        "fill", "relax", "block", "with_chi",
+        "fill", "relax", "block", "with_chi", "first_iter",
     ),
 )
 def grow_step(
@@ -599,6 +622,7 @@ def grow_step(
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
+    first_iter: bool = False,
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
     while_loop program is too large for the remote TPU compiler; also handy
@@ -613,6 +637,7 @@ def grow_step(
         relax_margin=relax_margin, delta_rel=delta_rel,
         floor_scale=floor_scale, block=block, with_chi=with_chi,
         floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
+        first_iter=first_iter,
     )
 
 
@@ -620,7 +645,7 @@ def grow_step(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
-        "chunk", "fill", "relax", "block", "with_chi",
+        "chunk", "fill", "relax", "block", "with_chi", "first_iter",
     ),
 )
 def grow_chunk(
@@ -633,6 +658,7 @@ def grow_chunk(
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
+    first_iter: bool = False,
 ):
     """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
     latency (significant through the tunneled TPU) without the compile cost
@@ -654,6 +680,7 @@ def grow_chunk(
             relax_margin=relax_margin, delta_rel=delta_rel,
             floor_scale=floor_scale, block=block, with_chi=with_chi,
             floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
+            first_iter=first_iter,
         )
         return (st, n_acc, k + 1)
 
@@ -666,7 +693,7 @@ def grow_chunk(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
-        "chunk", "fill", "relax", "block", "with_chi",
+        "chunk", "fill", "relax", "block", "with_chi", "first_iter",
     ),
 )
 def grow_chunk_pair(
@@ -679,6 +706,7 @@ def grow_chunk_pair(
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
+    first_iter: bool = False,
 ):
     """Bounded-chunk drain of BOTH growing directions in one program.
 
@@ -702,6 +730,7 @@ def grow_chunk_pair(
             relax_margin=relax_margin, delta_rel=delta_rel,
             floor_scale=floor_scale, block=block, with_chi=with_chi,
             floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
+            first_iter=first_iter,
         ),
         in_axes=(0, 0, 0, 0, None),
     )
@@ -895,6 +924,7 @@ class LocalSolver:
         step/chunked modes — the partial-results hook (the reference dumps
         growing snapshots at 30/70/80/95/100%, local_faldoi.cpp:944-1036).
         """
+        fi = isinstance(iteration, int) and iteration == 0
         it = jnp.asarray(iteration, jnp.int32)
         self.last_sweeps = 0
         if snapshot_cb is not None and self.mode == "fused":
@@ -905,7 +935,8 @@ class LocalSolver:
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, floor=self.floor, relax=self.relax,
                 relax_margin=self.relax_margin, delta_rel=self.delta_rel,
-                floor_scale=self.floor_scale, block=self.block, **self.kw
+                floor_scale=self.floor_scale, block=self.block,
+                first_iter=fi, **self.kw
             )
             self.last_sweeps = int(_sweeps)
             return state
@@ -917,7 +948,7 @@ class LocalSolver:
                     chunk=self.chunk, fill=self.fill, floor=self.floor,
                     relax=self.relax, relax_margin=self.relax_margin,
                     delta_rel=self.delta_rel, floor_scale=self.floor_scale,
-                    block=self.block, **self.kw
+                    block=self.block, first_iter=fi, **self.kw
                 )
                 self.last_sweeps += self.chunk
                 if snapshot_cb is not None:
@@ -932,7 +963,7 @@ class LocalSolver:
         # the tunneled TPU) overlaps with device execution; trailing
         # empty sweeps are no-ops.
         return self._grow_step_mode(state, sconsts, trust, sal, it,
-                                    max_sweeps)
+                                    max_sweeps, first_iter=fi)
 
     def grow_pair(self, st2, sc2, trust2, sal2, iteration,
                   max_sweeps=100000, snapshot_cb=None):
@@ -956,6 +987,7 @@ class LocalSolver:
         which is caught by max_acc == bsz and upshifted next chunk —
         truncation only makes the order stricter, never looser).
         """
+        fi = isinstance(iteration, int) and iteration == 0
         it = jnp.asarray(iteration, jnp.int32)
         self.last_sweeps = 0
         pending = None
@@ -980,7 +1012,7 @@ class LocalSolver:
                 chunk=self.chunk, fill=self.fill, floor=floor,
                 relax=self.relax, relax_margin=self.relax_margin,
                 delta_rel=self.delta_rel, floor_scale=self.floor_scale,
-                block=self.block, **self.kw
+                block=self.block, first_iter=fi, **self.kw
             )
             self.last_sweeps += self.chunk
             if snapshot_cb is not None:
@@ -1002,7 +1034,8 @@ class LocalSolver:
                            ladder[-1])
         return st2
 
-    def _grow_step_mode(self, state, sconsts, trust, sal, it, max_sweeps):
+    def _grow_step_mode(self, state, sconsts, trust, sal, it, max_sweeps,
+                        first_iter=False):
         k = max(1, self.chunk)
         for i in range(max_sweeps):
             state, n_acc = grow_step(
@@ -1010,7 +1043,8 @@ class LocalSolver:
                 self.h, self.w, self.wr, self.bsz, delta=self.delta,
                 fill=self.fill, floor=self.floor, relax=self.relax,
                 relax_margin=self.relax_margin, delta_rel=self.delta_rel,
-                floor_scale=self.floor_scale, block=self.block, **self.kw
+                floor_scale=self.floor_scale, block=self.block,
+                first_iter=first_iter, **self.kw
             )
             self.last_sweeps = i + 1
             if (i + 1) % k == 0 and int(n_acc) == 0:

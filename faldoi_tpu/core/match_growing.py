@@ -438,6 +438,15 @@ def match_growing(
             wv=jnp.concatenate([bv.ravel(), pad1]),
         )
 
+    # Per-phase ordering throttle: iteration 0 grows from sparse seeds,
+    # where the serial pop order decides which front claims territory —
+    # keep the tight queue-adaptive floor there.  The requeue drains
+    # (iterations >= 1 and the final growing) start from a ~93-98%-correct
+    # dense field, so a looser floor_scale there cuts their sweep count
+    # with little ordering consequence (parity measured: see
+    # EXPERIMENTS_r03.jsonl fs_late entries).
+    fs_late = int(os.environ.get("FALDOI_GROW_FS_LATE", "0")) or floor_scale
+
     if mode == "chunked":
         # P1 paired drain: both directions as one stacked device batch per
         # sweep (see LocalSolver.grow_pair); prune/requeue stay on device.
@@ -448,6 +457,7 @@ def match_growing(
         for it in range(prm.iterations_of):
             if snapshot_cb is not None:
                 marks["it"] = it
+            ls.floor_scale = floor_scale if it == 0 else fs_late
             st2 = ls.grow_pair(st2, sc2, trust2, sal2, it,
                                snapshot_cb=snapshot_cb)
             t = tick(f"growings it={it} (paired, <= {ls.last_sweeps} sweeps)",
@@ -478,6 +488,7 @@ def match_growing(
         # lane drains alongside in lockstep (discarded)
         if snapshot_cb is not None:
             marks["it"] = prm.iterations_of
+        ls.floor_scale = fs_late
         st2 = ls.grow_pair(st2, sc2, trust2, sal2, prm.iterations_of,
                            snapshot_cb=snapshot_cb)
         st_go = jax.tree.map(lambda a: a[0], st2)
