@@ -443,9 +443,12 @@ def match_growing(
     # keep the tight queue-adaptive floor there.  The requeue drains
     # (iterations >= 1 and the final growing) start from a ~93-98%-correct
     # dense field, so a looser floor_scale there cuts their sweep count
-    # with little ordering consequence (parity measured: see
-    # EXPERIMENTS_r03.jsonl fs_late entries).
-    fs_late = int(os.environ.get("FALDOI_GROW_FS_LATE", "0")) or floor_scale
+    # with little ordering consequence.  Measured full-scale
+    # (EXPERIMENTS_r03.jsonl): fs_late=16 -> 84.4 s / var 0.0289 (vs 106 s /
+    # 0.0277 at 64); fs_late=8 degrades rg enough (0.56) that the global
+    # step's tol loop blows up — 16 is the frontier knee.
+    fs_late = int(os.environ.get("FALDOI_GROW_FS_LATE", "0")) or min(
+        floor_scale, 16)
 
     if mode == "chunked":
         # P1 paired drain: both directions as one stacked device batch per
@@ -504,6 +507,7 @@ def match_growing(
     for it in range(prm.iterations_of):
         if snapshot_cb is not None:
             marks["it"] = it
+        ls.floor_scale = floor_scale if it == 0 else fs_late
         st_go = ls.grow(st_go, sc_go, trust_go, sal_g, it,
                         snapshot_cb=snapshot_cb)
         sw_go = ls.last_sweeps
@@ -534,6 +538,7 @@ def match_growing(
     # final forward-only growing (local_faldoi.cpp:1636-1712)
     if snapshot_cb is not None:
         marks["it"] = prm.iterations_of
+    ls.floor_scale = fs_late
     st_go = ls.grow(st_go, sc_go, trust_go, sal_g, prm.iterations_of,
                     snapshot_cb=snapshot_cb)
     jax.block_until_ready(st_go)
