@@ -124,6 +124,7 @@ def _iterated_growing(
     delta: float, fill: str, floor, relax: bool, relax_margin: float,
     delta_rel: float = 0.0, floor_scale: int = 0, block: int = 0,
     with_chi: bool = True, floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
+    floor_scale_late=None,
 ):
     """The ENTIRE post-seed local step as ONE device program: per outer
     iteration {fwd drain, bwd drain, FB prune, delete+requeue}, then the
@@ -139,6 +140,8 @@ def _iterated_growing(
     from faldoi_tpu.core.local_step import _sweep_body
 
     n = h * w
+    if floor_scale_late is None:
+        floor_scale_late = floor_scale
 
     # P1 (fwd/bwd OpenMP task pair, local_faldoi.cpp:1130-1139,1191-1219)
     # as a DEVICE BATCH: both directions' states are stacked on a leading
@@ -150,18 +153,18 @@ def _iterated_growing(
     sal2 = jnp.stack([sal_g, sal_b])
 
     sweep_pair = jax.vmap(
-        lambda s, sc, tr, sal, it: _sweep_body(
+        lambda s, sc, tr, sal, it, fs: _sweep_body(
             s, solver, sc, tr, sal, it,
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
             relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=floor_scale, block=block, with_chi=with_chi,
+            floor_scale=fs, block=block, with_chi=with_chi,
             floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
         ),
-        in_axes=(0, 0, 0, 0, None),
+        in_axes=(0, 0, 0, 0, None, None),
     )
 
-    def drain_pair(st2, trust2, it):
+    def drain_pair(st2, trust2, it, fs):
         trust2d = trust2[:, :n].reshape(2, h, w).astype(jnp.float32)
 
         def cond(carry):
@@ -170,7 +173,7 @@ def _iterated_growing(
 
         def body(carry):
             s, _, k = carry
-            s, acc = sweep_pair(s, sc2, trust2d, sal2, it)
+            s, acc = sweep_pair(s, sc2, trust2d, sal2, it, fs)
             return (s, acc, k + 1)
 
         st2, _, k = jax.lax.while_loop(
@@ -184,7 +187,12 @@ def _iterated_growing(
 
     def one_iter(it, carry):
         st2, trust2, sw = carry
-        st2, k = drain_pair(st2, trust2, it)
+        # per-phase ordering throttle (same rule as the chunked path):
+        # iteration 0 keeps the tight parity floor; requeue drains use the
+        # looser late-phase scale
+        fs = jnp.where(it == 0, jnp.asarray(floor_scale, jnp.int32),
+                       jnp.asarray(floor_scale_late, jnp.int32))
+        st2, k = drain_pair(st2, trust2, it, fs)
         fwd = jnp.stack(
             [st2.out_u[0, :n].reshape(h, w), st2.out_v[0, :n].reshape(h, w)],
             axis=-1,
@@ -205,8 +213,10 @@ def _iterated_growing(
     carry = (st2, trust_init, jnp.asarray(0, jnp.int32))
     st2, trust2, sweeps = jax.lax.fori_loop(0, iterations, one_iter, carry)
     # final forward-only growing (local_faldoi.cpp:1636-1712); the bwd lane
-    # drains alongside in lockstep (discarded — max(lanes) sweeps either way)
-    st2, k = drain_pair(st2, trust2, jnp.asarray(iterations, jnp.int32))
+    # drains alongside in lockstep (discarded — max(lanes) sweeps either way).
+    # The final drain always uses the late-phase floor scale (as chunked).
+    st2, k = drain_pair(st2, trust2, jnp.asarray(iterations, jnp.int32),
+                        jnp.asarray(floor_scale_late, jnp.int32))
     st_go = jax.tree.map(lambda a: a[0], st2)
     return st_go, sweeps + k
 
@@ -381,6 +391,18 @@ def match_growing(
     trust_all = jnp.ones((n + 1,), jnp.int32)
     trust_go, trust_ba = trust_all, trust_all
 
+    # Per-phase ordering throttle: iteration 0 grows from sparse seeds,
+    # where the serial pop order decides which front claims territory —
+    # keep the tight queue-adaptive floor there.  The requeue drains
+    # (iterations >= 1 and the final growing) start from a ~93-98%-correct
+    # dense field, so a looser floor_scale there cuts their sweep count
+    # with little ordering consequence.  Measured full-scale
+    # (EXPERIMENTS_r03.jsonl): fs_late=16 -> 84.4 s / var 0.0289 (vs 106 s /
+    # 0.0277 at 64); fs_late=8 degrades rg enough (0.56) that the global
+    # step's tol loop blows up — 16 is the frontier knee.
+    fs_late = int(os.environ.get("FALDOI_GROW_FS_LATE", "0")) or min(
+        floor_scale, 16)
+
     if mode == "fused" and not prm.part_res and not bilateral:
         # single-program path: the whole iterated growing in one launch
         st_go, sweeps = _iterated_growing(
@@ -390,6 +412,7 @@ def match_growing(
             h, w, prm.w_radio, ls.bsz, prm.warps, max(pd_cap, 1),
             delta, fill, ls.floor, relax, ls.relax_margin, delta_rel,
             floor_scale, block, with_chi, floor_scale_hi, queue_hi,
+            floor_scale_late=fs_late,
         )
         if verbose:
             jax.block_until_ready(st_go)
@@ -437,18 +460,6 @@ def match_growing(
             wu=jnp.concatenate([bu.ravel(), pad1]),
             wv=jnp.concatenate([bv.ravel(), pad1]),
         )
-
-    # Per-phase ordering throttle: iteration 0 grows from sparse seeds,
-    # where the serial pop order decides which front claims territory —
-    # keep the tight queue-adaptive floor there.  The requeue drains
-    # (iterations >= 1 and the final growing) start from a ~93-98%-correct
-    # dense field, so a looser floor_scale there cuts their sweep count
-    # with little ordering consequence.  Measured full-scale
-    # (EXPERIMENTS_r03.jsonl): fs_late=16 -> 84.4 s / var 0.0289 (vs 106 s /
-    # 0.0277 at 64); fs_late=8 degrades rg enough (0.56) that the global
-    # step's tol loop blows up — 16 is the frontier knee.
-    fs_late = int(os.environ.get("FALDOI_GROW_FS_LATE", "0")) or min(
-        floor_scale, 16)
 
     if mode == "chunked":
         # P1 paired drain: both directions as one stacked device batch per
