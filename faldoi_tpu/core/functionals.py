@@ -38,7 +38,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from faldoi_tpu.ops.bicubic import bicubic_interp_at, bicubic_window_sample
+from faldoi_tpu.ops.bicubic import (
+    bicubic_interp_at, bicubic_window_sample, bicubic_window_sample_blocks,
+)
+from faldoi_tpu.ops.blockgather import (
+    make_col_blocks, make_crop_blocks, crop_plane_blocks, crop_chans_blocks,
+)
 from faldoi_tpu.ops.stencils import divergence_patch, forward_gradient_patch
 from faldoi_tpu.ops.nonlocal_ops import neighbor_offsets
 from faldoi_tpu.core.pd_common import tvl2_getD, tvl2_getP
@@ -49,6 +54,25 @@ from faldoi_tpu import params as P
 # flow spread must fit in a WARP_WIN-4 square (see bicubic_window_sample).
 # 32 tolerates ~17px of flow discontinuity inside one patch.
 WARP_WIN = int(os.environ.get("FALDOI_WARP_WIN", "32"))
+
+# Column-block geometry for the block-gather warp window (see
+# ops.blockgather): any one patch's samples must fit a single
+# WARP_BWIDTH-wide block, i.e. spread <= WARP_BWIDTH - WARP_BSTRIDE - 3
+# (= 29 px at the defaults — the same coherence budget as WARP_WIN=32).
+WARP_BSTRIDE = int(os.environ.get("FALDOI_WARP_BSTRIDE", "32"))
+WARP_BWIDTH = int(os.environ.get("FALDOI_WARP_BWIDTH", "64"))
+
+
+def make_warp_blocks(planes_chw: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) -> (C, H, NB, WARP_BWIDTH) column blocks for the warp."""
+    return make_col_blocks(planes_chw, WARP_BSTRIDE, WARP_BWIDTH)
+
+
+def _blockgather_on(which: str) -> bool:
+    """Granular kill-switch for the block-gather fast paths (debug/ablation):
+    FALDOI_BLOCKGATHER=1 (default, all on) | 0 (all off) | solver | sweep."""
+    v = os.environ.get("FALDOI_BLOCKGATHER", "1")
+    return v == "1" or v == which
 
 
 class SolverConsts(NamedTuple):
@@ -72,14 +96,26 @@ class SolverConsts(NamedTuple):
     i_1y: Optional[jnp.ndarray] = None
     gpad: Optional[jnp.ndarray] = None
     occ_prm: Optional[jnp.ndarray] = None  # (alpha,beta,mu,tau_u,tau_eta,tau_chi)
+    # Block-gather planes (ops.blockgather): the TPU-fast replacements for
+    # the per-patch dynamic_slice crops/windows (serial on TPU).  None ->
+    # callers fall back to the slice-based paths.
+    i1_blk: Optional[jnp.ndarray] = None      # (3, h, NB, W) warp blocks
+    i0_blk: Optional[jnp.ndarray] = None      # (h+p, NB, 128) source crops
+    g_blk: Optional[jnp.ndarray] = None       # occ weight crops
+    i_1_blk: Optional[jnp.ndarray] = None     # occ second-frame warp blocks
+    wp_blk: Optional[jnp.ndarray] = None      # (24, h+p, NB, 128) NLTV w
 
 
 def make_solver_consts(method, i0pad, i1, i1x, i1y, lam, theta, tau, tol,
                        wr=P.PAR_DEFAULT_WINSIZE, i0_planes=None, p=None):
     """Build SolverConsts for a growing direction."""
+    i1_stack = jnp.stack([i1, i1x, i1y])
+    blk_on = _blockgather_on("solver")
     kw = dict(
         i0pad=i0pad, i1=i1, i1x=i1x, i1y=i1y,
-        i1_stack=jnp.stack([i1, i1x, i1y]),
+        i1_stack=i1_stack,
+        i1_blk=make_warp_blocks(i1_stack) if blk_on else None,
+        i0_blk=make_crop_blocks(i0pad) if blk_on else None,
         lambda_=jnp.float32(lam), theta=jnp.float32(theta),
         tau=jnp.float32(tau), tol=jnp.float32(tol),
     )
@@ -97,6 +133,8 @@ def make_solver_consts(method, i0pad, i1, i1x, i1y, lam, theta, tau, tol,
                                 float(P.NL_INTENSITY))
         pp = p if p is not None else 2 * wr + 1
         kw["wp_pad"] = jnp.pad(jnp.asarray(wp), ((0, 0), (0, pp), (0, pp)))
+        if blk_on:
+            kw["wp_blk"] = make_crop_blocks(kw["wp_pad"])
     return SolverConsts(**kw)
 
 
@@ -129,24 +167,43 @@ def _canvas_setup(p, oy, ox, ph, pw, dtype):
     return rows, cols, inbox, gx, gy
 
 
-def _warp3(i1_stack, gx, gy, u1, u2, inbox):
+def _warp3(sc: SolverConsts, gx, gy, u1, u2, inbox):
     """Warp (i1, i1x, i1y) at the patch cells' displaced positions — one
     windowed MXU sample of the stacked planes (the canvas cells of a patch
-    are spatially coherent, so they share one window; see
-    ops.bicubic.bicubic_window_sample)."""
+    are spatially coherent, so they share one window).  Prefers the
+    block-gather window fetch (no serial per-patch dynamic_slice; see
+    ops.blockgather) and falls back to the slice-based window when the
+    consts carry no blocks."""
     su = jnp.where(inbox, u1, 0.0)
     sv = jnp.where(inbox, u2, 0.0)
-    w = bicubic_window_sample(i1_stack, gx + su, gy + sv, False,
-                              win=WARP_WIN)
+    if sc.i1_blk is not None:
+        ny, nx = sc.i1.shape
+        w = bicubic_window_sample_blocks(
+            sc.i1_blk, ny, nx, gx + su, gy + sv, False, WARP_BSTRIDE)
+    else:
+        w = bicubic_window_sample(sc.i1_stack, gx + su, gy + sv, False,
+                                  win=WARP_WIN)
     return w[0], w[1], w[2]
 
 
-def _warp1(i1_stack, gx, gy, u1, u2, inbox):
+def _warp1(sc: SolverConsts, gx, gy, u1, u2, inbox):
     """Warp only i1 (the energy eval needs no derivatives)."""
     su = jnp.where(inbox, u1, 0.0)
     sv = jnp.where(inbox, u2, 0.0)
-    return bicubic_window_sample(i1_stack[:1], gx + su, gy + sv, False,
+    if sc.i1_blk is not None:
+        ny, nx = sc.i1.shape
+        return bicubic_window_sample_blocks(
+            sc.i1_blk[:1], ny, nx, gx + su, gy + sv, False, WARP_BSTRIDE)[0]
+    return bicubic_window_sample(sc.i1_stack[:1], gx + su, gy + sv, False,
                                  win=WARP_WIN)[0]
+
+
+def _crop_i0(sc: SolverConsts, oy, ox, p):
+    """Source-frame patch crop — block gather when available."""
+    if sc.i0_blk is not None:
+        return crop_plane_blocks(sc.i0_blk, oy, ox, p)
+    from faldoi_tpu.core.patch_solver import crop_padded
+    return crop_padded(sc.i0pad, oy, ox, p)
 
 
 def _weight2d(w1d, rows, cols, oy, ox, cj, ci, wr):
@@ -175,13 +232,11 @@ def _tvl1_threshold_w(u1, u2, rho_c, i1wx, i1wy, grad, l_t_w):
 
 def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
                        p, warps, max_iters, wr, weighted):
-    from faldoi_tpu.core.patch_solver import crop_padded
-
     # measurement-only ablations (see local_step._sweep_body)
     _ablate = os.environ.get("FALDOI_ABLATE", "")
 
     rows, cols, inbox, gx, gy = _canvas_setup(p, oy, ox, ph, pw, u1.dtype)
-    i0_patch = crop_padded(sc.i0pad, oy, ox, p)
+    i0_patch = _crop_i0(sc, oy, ox, p)
     l_t = sc.lambda_ * sc.theta
     if weighted:
         w2d = _weight2d(sc.w1d, rows, cols, oy, ox, cj, ci, wr)
@@ -197,7 +252,7 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
         if "nowarp" in _ablate:
             i1w, i1wx, i1wy = u1 * 0.1, u1 * 0.01, u2 * 0.01
         else:
-            i1w, i1wx, i1wy = _warp3(sc.i1_stack, gx, gy, u1, u2, inbox)
+            i1w, i1wx, i1wy = _warp3(sc, gx, gy, u1, u2, inbox)
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1 - i1wy * u2 - i0_patch
 
@@ -237,7 +292,7 @@ def _solve_tvl1_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     if "noeval" in _ablate:
         i1w = u1 * 0.1
     else:
-        i1w = _warp1(sc.i1_stack, gx, gy, u1, u2, inbox)
+        i1w = _warp1(sc, gx, gy, u1, u2, inbox)
     dt = sc.lambda_ * jnp.abs(i1w - i0_patch) * (w2d if weighted else 1.0)
     dc = (1.0 / (2.0 * sc.theta)) * ((u1 - v1) ** 2 + (u2 - v2) ** 2)
     g = jnp.sqrt(u1x * u1x + u1y * u1y + u2x * u2x + u2y * u2y)
@@ -255,9 +310,12 @@ NLTV_OFFS = tuple(neighbor_offsets(NL_BETA))
 def _nltv_crop_weights(sc: SolverConsts, oy, ox, p, rows, cols, ph, pw):
     """Crop the (24, h+p, w+p) weight planes and mask neighbours that leave
     the patch box (validate_ap_patch semantics).  Returns (wp, wt)."""
-    wp_full = jax.lax.dynamic_slice(
-        sc.wp_pad, (0, oy, ox), (len(NLTV_OFFS), p, p)
-    )
+    if sc.wp_blk is not None:
+        wp_full = crop_chans_blocks(sc.wp_blk, oy, ox, p)
+    else:
+        wp_full = jax.lax.dynamic_slice(
+            sc.wp_pad, (0, oy, ox), (len(NLTV_OFFS), p, p)
+        )
     inbox = (rows < ph) & (cols < pw)
     masks = []
     for (dy, dx) in NLTV_OFFS:
@@ -354,10 +412,8 @@ def _csad_vstep(u1, u2, b, i1wx, i1wy, grad, masks, ncount, l_t_eff):
 
 def _solve_nltv_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
                        p, warps, max_iters, wr, weighted):
-    from faldoi_tpu.core.patch_solver import crop_padded
-
     rows, cols, inbox, gx, gy = _canvas_setup(p, oy, ox, ph, pw, u1.dtype)
-    i0_patch = crop_padded(sc.i0pad, oy, ox, p)
+    i0_patch = _crop_i0(sc, oy, ox, p)
     wp, wt = _nltv_crop_weights(sc, oy, ox, p, rows, cols, ph, pw)
     l_t = sc.lambda_ * sc.theta
     if weighted:
@@ -373,7 +429,7 @@ def _solve_nltv_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     npx = jnp.asarray(ph * pw, u1.dtype)
 
     for _ in range(warps):
-        i1w, i1wx, i1wy = _warp3(sc.i1_stack, gx, gy, u1, u2, inbox)
+        i1w, i1wx, i1wy = _warp3(sc, gx, gy, u1, u2, inbox)
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1 - i1wy * u2 - i0_patch
 
@@ -406,7 +462,7 @@ def _solve_nltv_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     u2 = jnp.where(inbox, u2, 0.0)
     v1 = jnp.where(inbox, v1, 0.0)
     v2 = jnp.where(inbox, v2, 0.0)
-    i1w = _warp1(sc.i1_stack, gx, gy, u1, u2, inbox)
+    i1w = _warp1(sc, gx, gy, u1, u2, inbox)
     dt = sc.lambda_ * jnp.abs(i1w - i0_patch) * (w2d if weighted else 1.0)
     dc = (1.0 / (2.0 * sc.theta)) * ((u1 - v1) ** 2 + (u2 - v2) ** 2)
     g = jnp.zeros_like(u1)
@@ -426,8 +482,6 @@ def _solve_nltv_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
 
 def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
                        p, warps, max_iters, wr, weighted, nltv_reg):
-    from faldoi_tpu.core.patch_solver import crop_padded
-
     # Reference quirk (methods 4/5): guided_tvcsad[_w] feeds tvcsad_getD the
     # flow-gradient buffers u1x/u1y/u2x/u2y which are NEVER written anywhere
     # (allocated by initialize_auxiliar_stuff, tvcsad_model.cpp:38-41, and
@@ -440,7 +494,7 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
         "FALDOI_CSAD_TRUE_TV", "0") != "1"
 
     rows, cols, inbox, gx, gy = _canvas_setup(p, oy, ox, ph, pw, u1.dtype)
-    i0_patch = crop_padded(sc.i0pad, oy, ox, p)
+    i0_patch = _crop_i0(sc, oy, ox, p)
     masks = _csad_masks(rows, cols, ph, pw) & inbox[None]
     ncount = masks.sum(axis=0).astype(u1.dtype)
     l_t = sc.lambda_ * sc.theta
@@ -462,7 +516,7 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     npx = jnp.asarray(ph * pw, u1.dtype)
 
     for _ in range(warps):
-        i1w, i1wx, i1wy = _warp3(sc.i1_stack, gx, gy, u1, u2, inbox)
+        i1w, i1wx, i1wy = _warp3(sc, gx, gy, u1, u2, inbox)
         grad = jnp.hypot(i1wx * i1wx + i1wy * i1wy, 0.01)  # tvcsad_model.cpp:361
         b = _csad_b(i0_patch, i1w, i1wx, i1wy, u1, u2, grad, masks)
 
@@ -519,7 +573,7 @@ def _solve_csad_family(sc: SolverConsts, ci, cj, oy, ox, ph, pw, u1, u2, chi,
     u2 = jnp.where(inbox, u2, 0.0)
     v1 = jnp.where(inbox, v1, 0.0)
     v2 = jnp.where(inbox, v2, 0.0)
-    i1w = _warp1(sc.i1_stack, gx, gy, u1, u2, inbox)
+    i1w = _warp1(sc, gx, gy, u1, u2, inbox)
     dt = jnp.zeros_like(u1)
     for j, (dy, dx) in enumerate(CSAD_OFFS):
         i0n = _shift_canvas(i0_patch, dy, dx)
@@ -605,8 +659,9 @@ def solve_tvl1_occ(sc, ci, cj, oy, ox, ph, pw, u1, u2, chi, p, warps,
     from faldoi_tpu.core.patch_solver import crop_padded
     from faldoi_tpu.core.occlusion import solve_occ_canvas
 
-    i0_patch = crop_padded(sc.i0pad, oy, ox, p)
-    g_patch = crop_padded(sc.gpad, oy, ox, p)
+    i0_patch = _crop_i0(sc, oy, ox, p)
+    g_patch = (crop_plane_blocks(sc.g_blk, oy, ox, p)
+               if sc.g_blk is not None else crop_padded(sc.gpad, oy, ox, p))
     alpha, beta, mu, tau_u, tau_eta, tau_chi = (
         sc.occ_prm[0], sc.occ_prm[1], sc.occ_prm[2],
         sc.occ_prm[3], sc.occ_prm[4], sc.occ_prm[5],
@@ -616,6 +671,7 @@ def solve_tvl1_occ(sc, ci, cj, oy, ox, ph, pw, u1, u2, chi, p, warps,
         oy, ox, ph, pw, u1, u2, chi,
         sc.lambda_, sc.theta, alpha, beta, mu,
         tau_u, tau_eta, tau_chi, sc.tol, warps, max_iters,
+        i1_blk=sc.i1_blk, i_1_blk=sc.i_1_blk,
     )
 
 

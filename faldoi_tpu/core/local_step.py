@@ -371,16 +371,36 @@ def _sweep_body(
         fixed2d = fixed[:n].reshape(h, w)
         planes.append(_dense_fill(fixed2d, out_u[:n].reshape(h, w)))
         planes.append(_dense_fill(fixed2d, out_v[:n].reshape(h, w)))
-    stack = jnp.pad(
-        jnp.stack(planes, axis=-1), ((0, p), (0, p), (0, 0)), mode="edge"
+    # Column blocks instead of a flat padded stack: the per-patch crop
+    # becomes one batched fast gather + an exact one-hot MXU column extract
+    # (a vmapped dynamic_slice runs as a SERIAL per-patch loop on TPU — the
+    # dominant sweep cost before this; see ops.blockgather).
+    from faldoi_tpu.ops.blockgather import (
+        make_crop_blocks, crop_stack_blocks,
     )
-    nch = stack.shape[-1]
+    from faldoi_tpu.core.functionals import _blockgather_on
+
+    _blk_on = _blockgather_on("sweep")
+    if _blk_on:
+        stack = jnp.pad(
+            jnp.stack(planes, axis=0), ((0, 0), (0, p), (0, 0)), mode="edge"
+        )
+        stack_blk = jnp.moveaxis(make_crop_blocks(stack), 0, -1)
+        nch = stack.shape[0]
+    else:
+        stack = jnp.pad(
+            jnp.stack(planes, axis=-1), ((0, p), (0, p), (0, 0)), mode="edge"
+        )
+        nch = stack.shape[-1]
     chi_ch = 6 if with_chi else None
     fill_ch = 8 if with_chi else 6
 
     def build_init(oy_k, ox_k, ph_k, pw_k):
         inbox = (rows < ph_k) & (cols < pw_k)
-        pl = jax.lax.dynamic_slice(stack, (oy_k, ox_k, 0), (p, p, nch))
+        if _blk_on:
+            pl = crop_stack_blocks(stack_blk, oy_k, ox_k, p)
+        else:
+            pl = jax.lax.dynamic_slice(stack, (oy_k, ox_k, 0), (p, p, nch))
         fxp = (pl[..., 0] > 0.5) & inbox
         ou, ov = pl[..., 1], pl[..., 2]
         if lean:

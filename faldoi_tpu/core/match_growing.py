@@ -334,15 +334,22 @@ def match_growing(
             [prm.alpha, prm.beta, prm.mu, prm.tau_u, prm.tau_eta, prm.tau_chi],
             jnp.float32,
         )
+        from faldoi_tpu.core.functionals import make_warp_blocks
+        from faldoi_tpu.ops.blockgather import make_crop_blocks
+
         g_go = init_weight(i0x, i0y)
         g_ba = init_weight(i1x, i1y)
+        gpad_go = pad_for_crops(g_go, p)
+        gpad_ba = pad_for_crops(g_ba, p)
         sc_go = sc_go._replace(
             i_1=i_1n, i_1x=i_1x, i_1y=i_1y,
-            gpad=pad_for_crops(g_go, p), occ_prm=occ_prm,
+            i_1_blk=make_warp_blocks(jnp.stack([i_1n, i_1x, i_1y])),
+            gpad=gpad_go, g_blk=make_crop_blocks(gpad_go), occ_prm=occ_prm,
         )
         sc_ba = sc_ba._replace(
             i_1=i2n, i_1x=i2x, i_1y=i2y,
-            gpad=pad_for_crops(g_ba, p), occ_prm=occ_prm,
+            i_1_blk=make_warp_blocks(jnp.stack([i2n, i2x, i2y])),
+            gpad=gpad_ba, g_blk=make_crop_blocks(gpad_ba), occ_prm=occ_prm,
         )
 
     def mksal(s):

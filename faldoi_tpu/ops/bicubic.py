@@ -210,6 +210,67 @@ def bicubic_window_sample(planes: jnp.ndarray, uu: jnp.ndarray,
     return r
 
 
+def bicubic_window_sample_blocks(blocks: jnp.ndarray, ny: int, nx: int,
+                                 uu: jnp.ndarray, vv: jnp.ndarray,
+                                 border_out: bool, stride: int,
+                                 nrows: int = 32) -> jnp.ndarray:
+    """``bicubic_window_sample`` reading from column blocks — no per-patch
+    ``dynamic_slice``.
+
+    ``blocks``: (C, ny, NB, width) from ``ops.blockgather.make_col_blocks``
+    over the stacked (C, ny, nx) planes.  The per-patch window fetch becomes
+    advanced indexing ``blocks[:, oy + arange(nrows), bx]`` — under the
+    sweep's vmap this is ONE batched fast gather instead of the serial
+    per-patch slice loop that dominated the sweep cost (see
+    ops.blockgather module docstring; measured in EXPERIMENTS_r03.jsonl).
+
+    Values match ``bicubic_window_sample`` (same taps, same one-hot
+    contraction structure; the wider one-hot rows add exact zeros).
+    Coherence tolerance: all samples of one call must fit one block →
+    intra-call coordinate spread <= width - stride - 3 (width 64/stride 32
+    ≈ the old win=32 tolerance).
+    """
+    c, _ny, nb, width = blocks.shape
+    wy, wx, wys, wxs, out = _sample_weights(ny, nx, uu, vv)
+    shape = uu.shape
+    s = int(np.prod(shape)) if shape else 1
+    wy = wy.reshape(s)
+    wx = wx.reshape(s)
+    nr = min(nrows, ny)
+
+    oy = jnp.clip(jnp.min(wy), 0, max(ny - nr, 0))
+    bx = jnp.clip(jnp.min(wx), 0, max(nx - 4, 0)) // stride
+    bx = jnp.minimum(bx, nb - 1)
+    rel_y = jnp.clip(wy - oy, 0, nr - 4)
+    rel_x = jnp.clip(wx - bx * stride, 0, width - 4)
+
+    g = blocks[:, oy + jnp.arange(nr), bx]          # (C, nr, width)
+
+    ry = jnp.arange(nr)
+    rx = jnp.arange(width)
+    wy_mat = jnp.zeros((s, nr), blocks.dtype)
+    wx_mat = jnp.zeros((s, width), blocks.dtype)
+    for k in range(4):
+        wy_mat = wy_mat + jnp.where(
+            (rel_y + k)[:, None] == ry, wys[k].reshape(s)[:, None], 0.0
+        )
+        wx_mat = wx_mat + jnp.where(
+            (rel_x + k)[:, None] == rx, wxs[k].reshape(s)[:, None], 0.0
+        )
+
+    import os as _os
+    _prec = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
+             "default": lax.Precision.DEFAULT}[
+        _os.environ.get("FALDOI_WARP_PREC", "high")]
+    # contract the wide (lane) dim first so the intermediate stays small
+    t = jnp.einsum("sk,crk->csr", wx_mat, g, precision=_prec)
+    r = jnp.einsum("csr,sr->cs", t, wy_mat, precision=_prec)
+    r = r.reshape((c,) + shape)
+    if border_out:
+        r = jnp.where(out[None], 0.0, r)
+    return r
+
+
 def bicubic_out_flag(ny: int, nx: int, uu: jnp.ndarray, vv: jnp.ndarray):
     """The reference's out-of-domain flag (bicubic_interpolation_at,
     bicubic_interpolation.c:146-163, incl. the row quirk) for GLOBAL
