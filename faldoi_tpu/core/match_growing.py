@@ -58,6 +58,57 @@ def _insert_potential(state: GrowState, n) -> GrowState:
     )
 
 
+def _warm_requeue(state: GrowState, trust, n, h, w, band) -> GrowState:
+    """Warm drain requeue: trusted pixels farther than ``band`` px from any
+    pruned hole stay FIXED with their flow/energy; trusted pixels inside the
+    band re-queue as candidates (their re-solves grow into the holes and
+    seed them via the usual neighbour scatters).
+
+    The reference re-grows the whole image every outer iteration
+    (insert_potential_candidates + prepare_data_for_growing,
+    local_faldoi.cpp:813-870): every trusted pixel re-pops and re-solves,
+    and far from any pruned region that re-solve reproduces the same flow —
+    pure drain cost.  Keeping those pixels fixed makes the drain's sweep
+    count scale with the pruned area (a few % after iteration 0) instead of
+    the image.  Output equivalence at the band edge is by the same argument
+    as the serial pop order: a fixed pixel's value only feeds neighbours as
+    a donation, exactly as if it had re-popped first.  Parity measured in
+    EXPERIMENTS_r03.jsonl (warm_band sweep).
+
+    ``trust``/state arrays may carry leading lane axes (the paired fwd/bwd
+    drain stacks (2, N+1)); the hole dilation runs on the trailing (h, w)
+    grid per lane."""
+    lead = trust.shape[:-1]
+    bad2d = (trust[..., :n] == 0).reshape(lead + (h, w))
+    near = bad2d
+    for ax in (-2, -1):
+        acc = near
+        # separable box dilation by ``band`` (jnp.roll wraps across the
+        # image edge — that only re-queues a few extra far-edge pixels)
+        for s in range(1, band + 1):
+            acc = acc | jnp.roll(near, s, axis=ax) | jnp.roll(near, -s, axis=ax)
+        near = acc
+    pad1 = jnp.zeros(lead + (1,), bool)
+    near = jnp.concatenate([near.reshape(lead + (n,)), pad1], axis=-1)
+    bad = jnp.concatenate([bad2d.reshape(lead + (n,)), pad1], axis=-1)
+    ok = ~bad & jnp.isfinite(state.out_u) & jnp.isfinite(state.out_v)
+    requeue = ok & near
+    keep = ok & ~near
+    nanv = jnp.where(bad, jnp.nan, 0.0)
+    return state._replace(
+        cand_u=jnp.where(requeue, state.out_u, 0.0),
+        cand_v=jnp.where(requeue, state.out_v, 0.0),
+        cand_e=jnp.where(requeue, state.ene, jnp.inf),
+        fixed=keep,
+        ene=jnp.where(keep, state.ene, jnp.inf),
+        out_u=jnp.where(keep, state.out_u, jnp.nan),
+        out_v=jnp.where(keep, state.out_v, jnp.nan),
+        wu=state.wu + nanv,   # NaN-poison untrusted working flow (as cold)
+        wv=state.wv + nanv,
+        out_chi=jnp.where(bad, 1.0, state.out_chi),
+    )
+
+
 def warp_window_overflow(flow: np.ndarray, wr: int, win: int) -> int:
     """Count pixels whose 11x11-patch warp could overflow the shared MXU
     sampling window (ops.bicubic.bicubic_window_sample clamps such samples
@@ -409,6 +460,15 @@ def match_growing(
     # step's tol loop blows up — 16 is the frontier knee.
     fs_late = int(os.environ.get("FALDOI_GROW_FS_LATE", "0")) or min(
         floor_scale, 16)
+    # Warm drains: re-queue only a band around pruned holes, keep the rest
+    # of the trusted field fixed (see _warm_requeue).  0 = cold (reference
+    # semantics: full re-grow each iteration).
+    warm_band = int(os.environ.get("FALDOI_GROW_WARM_BAND", "0"))
+
+    def _requeue(st, tr):
+        if warm_band:
+            return _warm_requeue(st, tr, n, h, w, warm_band)
+        return _insert_potential(_delete_untrusted(st, tr, n), n)
 
     if mode == "fused" and not prm.part_res and not bilateral:
         # single-program path: the whole iterated growing in one launch
@@ -497,7 +557,7 @@ def match_growing(
                 [jnp.stack([tg.reshape(-1), tb.reshape(-1)]),
                  jnp.ones((2, 1), jnp.int32)], axis=1,
             )
-            st2 = _insert_potential(_delete_untrusted(st2, trust2, n), n)
+            st2 = _requeue(st2, trust2)
             if bilateral:
                 st_go = _bfill(jax.tree.map(lambda a: a[0], st2), tg)
                 st_ba = _bfill(jax.tree.map(lambda a: a[1], st2), tb)
@@ -546,8 +606,8 @@ def match_growing(
         trust_go = jnp.concatenate([tg.ravel(), jnp.ones((1,), jnp.int32)])
         trust_ba = jnp.concatenate([tb.ravel(), jnp.ones((1,), jnp.int32)])
 
-        st_go = _insert_potential(_delete_untrusted(st_go, trust_go, n), n)
-        st_ba = _insert_potential(_delete_untrusted(st_ba, trust_ba, n), n)
+        st_go = _requeue(st_go, trust_go)
+        st_ba = _requeue(st_ba, trust_ba)
         if bilateral:
             st_go = _bfill(st_go, tg)
             st_ba = _bfill(st_ba, tb)
