@@ -324,6 +324,53 @@ def _sweep_body(
         floor_base,
     )
     valid = valid & (e_ok | (rank < floor_dyn))
+
+    pop_u = state.cand_u[idx]
+    pop_v = state.cand_v[idx]
+
+    # CONTESTED-ACCEPT DEFERRAL (FALDOI_GROW_DEFER=<flow tol px>): accepts
+    # that commute may land in the same sweep without changing the serial
+    # outcome; the ones that DON'T commute are exactly where the reference's
+    # strict pop order decides the flow — a lower-energy accept within patch
+    # reach whose flow disagrees would, serially, have claimed territory /
+    # donated its flow before us.  Defer those: scatter this sweep's
+    # tentative accepts' (e, u, v) onto the grid, window-reduce over the
+    # patch-overlap neighbourhood, and drop any accept that sees a strictly
+    # lower-energy neighbour while the neighbourhood's accepted flows spread
+    # more than the tolerance.  The window-min holder itself is never
+    # deferred, so progress is guaranteed; smooth regions (flow spread
+    # within tol) are untouched, so the sweep count only grows along
+    # motion discontinuities.
+    _defer = float(_os.environ.get("FALDOI_GROW_DEFER", "0") or 0)
+    if _defer > 0:
+        wsz = int(_os.environ.get("FALDOI_GROW_DEFER_WIN", str(2 * wr + 1)))
+        acc_i = jnp.where(valid, idx, dump)
+        acc_e = jnp.where(valid, e_pop, jnp.inf)
+        inf1 = jnp.full((n + 1,), jnp.inf, e_pop.dtype)
+        e_pl = inf1.at[acc_i].min(acc_e)[:n].reshape(h, w)
+        u_lo = inf1.at[acc_i].min(jnp.where(valid, pop_u, jnp.inf))[:n]
+        u_hi = (-inf1).at[acc_i].max(jnp.where(valid, pop_u, -jnp.inf))[:n]
+        v_lo = inf1.at[acc_i].min(jnp.where(valid, pop_v, jnp.inf))[:n]
+        v_hi = (-inf1).at[acc_i].max(jnp.where(valid, pop_v, -jnp.inf))[:n]
+
+        def _wred(p2, init, op):
+            r = jax.lax.reduce_window(p2, init, op, (1, wsz), (1, 1), "SAME")
+            return jax.lax.reduce_window(r, init, op, (wsz, 1), (1, 1),
+                                         "SAME")
+
+        wmin_e = _wred(e_pl, jnp.inf, jax.lax.min)
+        wlo_u = _wred(u_lo.reshape(h, w), jnp.inf, jax.lax.min)
+        whi_u = _wred(u_hi.reshape(h, w), -jnp.inf, jax.lax.max)
+        wlo_v = _wred(v_lo.reshape(h, w), jnp.inf, jax.lax.min)
+        whi_v = _wred(v_hi.reshape(h, w), -jnp.inf, jax.lax.max)
+        spread = ((whi_u - wlo_u > _defer) | (whi_v - wlo_v > _defer))
+        contested2 = (spread & jnp.isfinite(wmin_e)).reshape(n)
+        lower2 = wmin_e.reshape(n)
+        cont_at = jnp.concatenate([contested2, jnp.zeros((1,), bool)])[idx]
+        wmin_at = jnp.concatenate([lower2, jnp.full((1,), jnp.inf)])[idx]
+        contested = cont_at & (wmin_at < e_pop - 1e-6)
+        valid = valid & ~contested
+
     idx_s = jnp.where(valid, idx, dump)
     n_acc = valid.sum()
 
@@ -331,8 +378,6 @@ def _sweep_body(
     i, j, oy, ox, ph, pw = _patch_geometry(idx, h, w, wr, ymin, ymax)
 
     # --- fix accepted candidates (local_growing pop, :899-937)
-    pop_u = state.cand_u[idx]
-    pop_v = state.cand_v[idx]
     pop_e = state.cand_e[idx]
     pop_c = state.cand_chi[idx]
     fixed = state.fixed.at[idx_s].set(True)

@@ -462,8 +462,10 @@ def match_growing(
         floor_scale, 16)
     # Warm drains: re-queue only a band around pruned holes, keep the rest
     # of the trusted field fixed (see _warm_requeue).  0 = cold (reference
-    # semantics: full re-grow each iteration).
-    warm_band = int(os.environ.get("FALDOI_GROW_WARM_BAND", "0"))
+    # semantics: full re-grow each iteration).  Default 10 px, measured
+    # full-scale (EXPERIMENTS_r03.jsonl): 94.3 -> 63.0 s local+global at
+    # var EPE 0.0276 -> 0.0293 (gate 0.05), rg 0.456 -> 0.517.
+    warm_band = int(os.environ.get("FALDOI_GROW_WARM_BAND", "10"))
 
     def _requeue(st, tr):
         if warm_band:
