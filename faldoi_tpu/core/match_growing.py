@@ -164,7 +164,7 @@ def _flow2d(state: GrowState, h, w):
     jax.jit,
     static_argnames=(
         "solver", "iterations", "h", "w", "wr", "bsz", "warps", "max_iters",
-        "fill", "relax", "block", "with_chi",
+        "fill", "relax", "block", "with_chi", "warm_band",
     ),
 )
 def _iterated_growing(
@@ -175,7 +175,7 @@ def _iterated_growing(
     delta: float, fill: str, floor, relax: bool, relax_margin: float,
     delta_rel: float = 0.0, floor_scale: int = 0, block: int = 0,
     with_chi: bool = True, floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
-    floor_scale_late=None,
+    floor_scale_late=None, warm_band: int = 0,
 ):
     """The ENTIRE post-seed local step as ONE device program: per outer
     iteration {fwd drain, bwd drain, FB prune, delete+requeue}, then the
@@ -256,9 +256,14 @@ def _iterated_growing(
         trust2 = jnp.concatenate(
             [jnp.stack([tg.reshape(-1), tb.reshape(-1)]), ones21], axis=1
         )
-        # _delete_untrusted/_insert_potential are elementwise over the flat
-        # state arrays, so they apply to the stacked (2, n+1) lanes directly
-        st2 = _insert_potential(_delete_untrusted(st2, trust2, n), n)
+        # _delete_untrusted/_insert_potential/_warm_requeue are elementwise
+        # (plus a per-lane roll dilation) over the flat state arrays, so
+        # they apply to the stacked (2, n+1) lanes directly; warm matches
+        # the chunked path's default (mode equivalence).
+        if warm_band:
+            st2 = _warm_requeue(st2, trust2, n, h, w, warm_band)
+        else:
+            st2 = _insert_potential(_delete_untrusted(st2, trust2, n), n)
         return (st2, trust2, sw + k)
 
     carry = (st2, trust_init, jnp.asarray(0, jnp.int32))
@@ -481,7 +486,7 @@ def match_growing(
             h, w, prm.w_radio, ls.bsz, prm.warps, max(pd_cap, 1),
             delta, fill, ls.floor, relax, ls.relax_margin, delta_rel,
             floor_scale, block, with_chi, floor_scale_hi, queue_hi,
-            floor_scale_late=fs_late,
+            floor_scale_late=fs_late, warm_band=warm_band,
         )
         if verbose:
             jax.block_until_ready(st_go)
