@@ -24,8 +24,9 @@ def main(argv=None):
 
     timer = StageTimer(enabled=verbose)
 
-    with open(args.file_images) as fh:
-        frames = [ln.strip() for ln in fh if ln.strip()]
+    from faldoi_tpu.utils import read_frame_list
+
+    frames = read_frame_list(args.file_images)
     if len(frames) != 4:
         print("occlusion estimation needs 4 frames: I0, I1, I-1, I2",
               file=sys.stderr)

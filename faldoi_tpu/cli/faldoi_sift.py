@@ -118,8 +118,9 @@ def main(argv=None):
 
     timer = StageTimer(enabled=verbose)
 
-    with open(args.file_images) as fh:
-        frames = [ln.strip() for ln in fh if ln.strip()]
+    from faldoi_tpu.utils import read_frame_list
+
+    frames = read_frame_list(args.file_images)
     im0, im1 = frames[0], frames[1]
 
     res = args.res_path

@@ -1115,3 +1115,91 @@ class LocalSolver:
             if (i + 1) % k == 0 and int(n_acc) == 0:
                 break
         return state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("solver", "h", "w", "wr", "bsz", "warps", "max_iters",
+                     "with_chi"),
+)
+def polish_all(state: GrowState, sconsts, sal, solver,
+               h: int, w: int, wr: int, bsz: int,
+               warps: int, max_iters: int, with_chi: bool = False):
+    """One chunk-raster re-polish pass: re-solve EVERY pixel's patch from
+    the current dense field and write back the centre flow/energy.
+
+    The reference's outer iterations re-grow the whole image, re-solving
+    every pixel's patch with the evolving field as init (the re-queued pops
+    of local_faldoi.cpp:813-1036 + 891-1039); warm drains
+    (match_growing._warm_requeue) skip that re-solve outside the hole
+    bands, trading rg-level parity for time.  A polish pass restores the
+    re-solve in batch form: bsz-chunks in raster order, each chunk reading
+    the partially-updated planes (chunk-level Gauss-Seidel; within a chunk,
+    Jacobi).  No queue machinery — every pixel is re-solved exactly once
+    per pass.
+
+    Returns the state with out/ene (and the working flow at centres)
+    replaced by the re-solves.  Unfixed/non-finite pixels keep their state.
+    """
+    from faldoi_tpu.ops.blockgather import make_crop_blocks, crop_stack_blocks
+
+    n = h * w
+    dump = n
+    p = 2 * wr + 1
+    nchunks = -(-n // bsz)
+    rows, cols = _rowcol_ids((p, p))
+
+    def chunk_body(c, carry):
+        out_u, out_v, out_chi, ene, wu, wv = carry
+        idx = c * bsz + jnp.arange(bsz)
+        ok = (idx < n) & state.fixed[jnp.minimum(idx, dump)]
+        idx = jnp.minimum(idx, dump)
+        i, j, oy, ox, ph, pw = _patch_geometry(idx, h, w, wr)
+
+        planes = [out_u[:n].reshape(h, w), out_v[:n].reshape(h, w)]
+        if with_chi:
+            planes.append(out_chi[:n].reshape(h, w))
+        stack = jnp.pad(jnp.stack(planes, axis=0),
+                        ((0, 0), (0, p), (0, 0)), mode="edge")
+        stack_blk = jnp.moveaxis(make_crop_blocks(stack), 0, -1)
+
+        def build(oy_k, ox_k, ph_k, pw_k):
+            inbox = (rows < ph_k) & (cols < pw_k)
+            pl = crop_stack_blocks(stack_blk, oy_k, ox_k, p)
+            u0 = jnp.where(inbox, jnp.nan_to_num(pl[..., 0]), 0.0)
+            v0 = jnp.where(inbox, jnp.nan_to_num(pl[..., 1]), 0.0)
+            c0 = (jnp.where(inbox, jnp.nan_to_num(pl[..., 2]), 0.0)
+                  if with_chi else jnp.zeros_like(u0))
+            return u0, v0, c0
+
+        u0, v0, c0 = jax.vmap(build, out_axes=-1)(oy, ox, ph, pw)
+        su, sv, schi, ener = jax.vmap(
+            lambda i_k, j_k, oy_k, ox_k, ph_k, pw_k, a, b, cc: solver(
+                sconsts, i_k, j_k, oy_k, ox_k, ph_k, pw_k, a, b, cc,
+                p, warps, max_iters, wr),
+            in_axes=(0, 0, 0, 0, 0, 0, -1, -1, -1), out_axes=(-1, -1, -1, 0)
+        )(i, j, oy, ox, ph, pw, u0, v0, c0)
+
+        cy, cx = j - oy, i - ox
+        bidx = jnp.arange(bsz)
+        cu = su[cy, cx, bidx]
+        cv = sv[cy, cx, bidx]
+        cc = schi[cy, cx, bidx]
+        good = ok & jnp.isfinite(cu) & jnp.isfinite(cv)
+        qs = jnp.where(good, idx, dump)
+        out_u = out_u.at[qs].set(jnp.where(good, cu, out_u[qs]))
+        out_v = out_v.at[qs].set(jnp.where(good, cv, out_v[qs]))
+        if with_chi:
+            out_chi = out_chi.at[qs].set(jnp.where(good, cc, out_chi[qs]))
+        ene = ene.at[qs].set(jnp.where(good, ener * sal[qs], ene[qs]))
+        wu = wu.at[qs].set(jnp.where(good, cu, wu[qs]))
+        wv = wv.at[qs].set(jnp.where(good, cv, wv[qs]))
+        return (out_u, out_v, out_chi, ene, wu, wv)
+
+    out_u, out_v, out_chi, ene, wu, wv = jax.lax.fori_loop(
+        0, nchunks, chunk_body,
+        (state.out_u, state.out_v, state.out_chi, state.ene,
+         state.wu, state.wv),
+    )
+    return state._replace(out_u=out_u, out_v=out_v, out_chi=out_chi,
+                          ene=ene, wu=wu, wv=wv)

@@ -477,6 +477,21 @@ def match_growing(
             return _warm_requeue(st, tr, n, h, w, warm_band)
         return _insert_potential(_delete_untrusted(st, tr, n), n)
 
+    # Polish passes after each drain (core.local_step.polish_all): re-solve
+    # every pixel's patch from the evolved field — the batch form of the
+    # re-solves that warm drains skip.  0 = off.
+    polish_k = int(os.environ.get("FALDOI_GROW_POLISH", "0"))
+
+    def _polish_pair(st2_, sc2_, sal2_):
+        from faldoi_tpu.core.local_step import polish_all
+
+        pol = jax.vmap(lambda s, sc, sl: polish_all(
+            s, sc, sl, solver, h, w, prm.w_radio, ls.bsz,
+            prm.warps, max(pd_cap, 1), with_chi=with_chi))
+        for _ in range(polish_k):
+            st2_ = pol(st2_, sc2_, sal2_)
+        return st2_
+
     if mode == "fused" and not prm.part_res and not bilateral:
         # single-program path: the whole iterated growing in one launch
         st_go, sweeps = _iterated_growing(
@@ -548,6 +563,11 @@ def match_growing(
             ls.floor_scale = floor_scale if it == 0 else fs_late
             st2 = ls.grow_pair(st2, sc2, trust2, sal2, it,
                                snapshot_cb=snapshot_cb)
+            if polish_k and it >= 1:
+                # the reference's iteration-(>=1) growings re-solve every
+                # pixel; warm drains skip that outside the hole bands —
+                # polish restores it in batch form
+                st2 = _polish_pair(st2, sc2, sal2)
             t = tick(f"growings it={it} (paired, <= {ls.last_sweeps} sweeps)",
                      t)
             fwd = jnp.stack([st2.out_u[0, :n].reshape(h, w),
@@ -579,6 +599,8 @@ def match_growing(
         ls.floor_scale = fs_late
         st2 = ls.grow_pair(st2, sc2, trust2, sal2, prm.iterations_of,
                            snapshot_cb=snapshot_cb)
+        if polish_k:
+            st2 = _polish_pair(st2, sc2, sal2)
         st_go = jax.tree.map(lambda a: a[0], st2)
         jax.block_until_ready(st_go)
         t = tick("final growing", t)

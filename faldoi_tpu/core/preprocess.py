@@ -64,12 +64,36 @@ def prepare_quad(i0_planes, i1_planes, i_1_planes, i2_planes):
 
 def read_frame_list(path: str):
     """Read the ims.txt frame list: 2 frames (I0, I1) or 4 (I0, I1, I-1, I2)
-    (local_faldoi.cpp:1826-1860)."""
+    (local_faldoi.cpp:1826-1860).
+
+    Relative entries that don't resolve from the CWD are resolved against
+    the list file's directory and a few of its ancestors: the reference's
+    stock lists (e.g. `example_data/clean/sintel_one_frame_easy.txt`) hold
+    `../example_data/...` paths that assume the drivers run from
+    `scripts_python/` — ancestor resolution keeps them working from any CWD
+    without breaking absolute or genuinely CWD-relative paths."""
+    import os
+
     with open(path) as fh:
         names = [ln.strip() for ln in fh if ln.strip()]
     if len(names) == 3:
         raise ValueError("3 images given; expected 2 (I0, I1) or 4 (I0, I1, I-1, I2)")
-    return names
+    bases = [os.path.dirname(os.path.abspath(path))]
+    for _ in range(3):
+        parent = os.path.dirname(bases[-1])
+        if parent == bases[-1]:
+            break
+        bases.append(parent)
+    out = []
+    for f in names:
+        if not os.path.isabs(f) and not os.path.exists(f):
+            for b in bases:
+                alt = os.path.normpath(os.path.join(b, f))
+                if os.path.exists(alt):
+                    f = alt
+                    break
+        out.append(f)
+    return out
 
 
 def load_frames(list_path: str):

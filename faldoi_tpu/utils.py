@@ -46,3 +46,8 @@ def write_pair_list(path: str, i0: str, i1: str, i_1: str = None,
     with open(path, "w") as fh:
         fh.write("\n".join(names) + "\n")
     return path
+
+
+# read_frame_list lives in core.preprocess (the canonical list reader
+# with ancestor-relative resolution); re-exported here for the drivers.
+from faldoi_tpu.core.preprocess import read_frame_list  # noqa: E402,F401

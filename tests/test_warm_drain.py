@@ -52,3 +52,14 @@ def test_warm_matches_cold_chunked(monkeypatch):
     assert _epe(warm, cold) <= 0.12, "warm vs cold drain rg EPE"
     ref = read_flo(GOLD + "tiny/m0_rg.flo")
     assert _epe(warm, ref) <= 0.15, "warm drain rg vs reference binaries"
+
+
+def test_warm_plus_polish_within_golden_gate(monkeypatch):
+    """A polish pass (FALDOI_GROW_POLISH) after warm drains restores part of
+    the skipped re-solve: measured tiny-crop rg vs the reference binaries is
+    0.096 (warm-only 0.120, cold 0.073).  Gate generously to pin the
+    mechanism works without anchoring run-to-run noise."""
+    monkeypatch.setenv("FALDOI_GROW_POLISH", "1")
+    warm = _grow(monkeypatch, 10)
+    ref = read_flo(GOLD + "tiny/m0_rg.flo")
+    assert _epe(warm, ref) <= 0.12, "warm+polish rg vs reference binaries"
