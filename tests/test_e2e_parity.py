@@ -62,3 +62,10 @@ def test_rg_close_to_reference_binaries(pipeline_out):
     # this crop (PARITY.md "Known deviations"); this bound catches
     # regressions while the ordering work continues
     assert _epe(rg, ref) <= 0.15, "rg EPE vs reference binaries"
+
+
+def test_growing_fills_every_pixel(pipeline_out):
+    """Property from SURVEY §4: the growing must fill 100% of pixels (the
+    reference's local_growing drains the queue until every pixel pops)."""
+    rg, _ = pipeline_out
+    assert np.isfinite(rg).all(), "unfilled pixels in the growing output"
