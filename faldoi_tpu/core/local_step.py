@@ -340,7 +340,12 @@ def _sweep_body(
     # more than the tolerance.  The window-min holder itself is never
     # deferred, so progress is guaranteed; smooth regions (flow spread
     # within tol) are untouched, so the sweep count only grows along
-    # motion discontinuities.
+    # motion discontinuities.  Under spatial sharding the reduction runs
+    # per shard: contests across a shard boundary are not seen (the halo
+    # merge's scatter-min still arbitrates the VALUES; only the deferral
+    # heuristic is shard-local).  In relax mode the comparison key carries
+    # RECLAIM_BIAS for re-claims, which makes deferral strictly more
+    # conservative there (re-claims rank behind all frontier accepts).
     _defer = float(_os.environ.get("FALDOI_GROW_DEFER", "0") or 0)
     if _defer > 0:
         wsz = int(_os.environ.get("FALDOI_GROW_DEFER_WIN", str(2 * wr + 1)))
