@@ -325,6 +325,29 @@ def _sweep_body(
     )
     valid = valid & (e_ok | (rank < floor_dyn))
 
+    # EXACT WINDOW-MIN acceptance (FALDOI_GROW_EXACTMIN=<win px>, 0=off):
+    # the strictest order-commutation rule — accept ONLY candidates that are
+    # the minimum eligible energy within their (win x win) interaction
+    # window.  A pop's side effects (fixed flag, working-flow scatter over
+    # the patch extent, neighbour candidate inserts) reach at most
+    # 2*wr+1 px, so with win >= 4*wr+3 two same-sweep accepts provably
+    # cannot see each other's writes and the sweep is order-equivalent to
+    # the serial heap popping each accepted candidate before any eligible
+    # candidate in its window (cascaded inserts from outside the window are
+    # the only approximation).  Replaces the band/floor throttles when on.
+    # Measurement knob for the ordering frontier (PARITY.md deviation #1).
+    import os as _os2
+    _exact = int(_os2.environ.get("FALDOI_GROW_EXACTMIN", "0") or 0)
+    if _exact > 0:
+        el2 = eligible.reshape(h, w)
+        r_ = jax.lax.reduce_window(el2, jnp.inf, jax.lax.min,
+                                   (1, _exact), (1, 1), "SAME")
+        wmin2 = jax.lax.reduce_window(r_, jnp.inf, jax.lax.min,
+                                      (_exact, 1), (1, 1), "SAME").reshape(n)
+        is_min = eligible <= wmin2
+        min_at = jnp.concatenate([is_min, jnp.zeros((1,), bool)])[idx]
+        valid = jnp.isfinite(neg_e) & min_at
+
     pop_u = state.cand_u[idx]
     pop_v = state.cand_v[idx]
 
