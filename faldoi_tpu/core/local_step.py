@@ -347,6 +347,13 @@ def _sweep_body(
         is_min = eligible <= wmin2
         min_at = jnp.concatenate([is_min, jnp.zeros((1,), bool)])[idx]
         valid = jnp.isfinite(neg_e) & min_at
+        if _os2.environ.get("FALDOI_GROW_EXACTMIN_BAND", "0") == "1":
+            # ALSO require the GLOBAL delta band (no rank floor): window
+            # minima outside the band wait for the globally-lower fronts —
+            # the serial heap's cross-region arbitration.  Progress is
+            # still guaranteed: the global minimum is always a window
+            # minimum and always in band.
+            valid = valid & e_ok
 
     pop_u = state.cand_u[idx]
     pop_v = state.cand_v[idx]
@@ -910,10 +917,14 @@ def seed_batch(
         qs.append(q)
         es.append(new_e)
         oks.append(inb & (new_e < cand_e[q]))
-        nus.append(su[bidx, cy + dy, cx + dx])
-        nvs.append(sv[bidx, cy + dy, cx + dx])
+        # su/sv/schi are (p, p, bsz) — lane axis LAST (out_axes=-1 above);
+        # indexing lanes on axis 0 here would clamp bidx to p-1 and hand
+        # every candidate a wrong lane's flow (caught vs the reference's
+        # queue log: candidate flows off by ~5 px while energies matched)
+        nus.append(su[cy + dy, cx + dx, bidx])
+        nvs.append(sv[cy + dy, cx + dx, bidx])
         if with_chi:
-            ncs.append(schi[bidx, cy + dy, cx + dx])
+            ncs.append(schi[cy + dy, cx + dx, bidx])
     cand_e, cand_u, cand_v, cand_chi = _scatter_min_payload(
         cand_e, cand_u, cand_v, cand_chi, jnp.concatenate(qs),
         jnp.concatenate(es), jnp.concatenate(nus), jnp.concatenate(nvs),
