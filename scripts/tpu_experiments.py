@@ -105,8 +105,12 @@ def main():
         out = np.stack([np.asarray(u1), np.asarray(u2)], -1)
         t_glob = time.time() - t0
         fin = np.isfinite(flow[..., 0]) & np.isfinite(ref_rg[..., 0])
+        env_knobs = {k: v for k, v in os.environ.items()
+                     if k.startswith("FALDOI_GROW_")}
         rec = {
-            "config": name, "kw": {k: str(v) for k, v in kw.items()},
+            "config": os.environ.get("FALDOI_EXP_LABEL", name),
+            "kw": {k: str(v) for k, v in kw.items()},
+            "env": env_knobs,
             "local_s": round(t_local, 1), "global_s": round(t_glob, 1),
             "rg_epe": round(float(np.hypot(
                 flow[..., 0] - ref_rg[..., 0],
