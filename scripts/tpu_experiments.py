@@ -125,6 +125,11 @@ def main():
         print(json.dumps(rec), flush=True)
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        save = os.environ.get("FALDOI_EXP_SAVE")
+        if save:
+            from faldoi_tpu.io import write_flo
+            write_flo(f"{save}_{rec['config']}_rg.flo", np.asarray(flow))
+            write_flo(f"{save}_{rec['config']}_var.flo", out)
 
 
 if __name__ == "__main__":
