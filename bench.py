@@ -80,6 +80,13 @@ def main():
 
     import jax.numpy as jnp
 
+    from faldoi_tpu.profiling import warm_tunnel
+
+    # fire the tunnel's one-time first-transfer bootstrap (70-850 s erratic
+    # when it lands mid-pipeline) on a daemon thread NOW, while data loading
+    # and client-side tracing/compiles proceed under it
+    warm_tunnel()
+
     from faldoi_tpu.io import read_flo
     from faldoi_tpu.io.image import read_image_split
     from faldoi_tpu.core.preprocess import prepare_pair

@@ -73,6 +73,9 @@ def deepmatch_both(im0, im1, m1, m2, nt, downscale, max_scale,
 
 
 def main(argv=None):
+    from faldoi_tpu.profiling import warm_tunnel
+
+    warm_tunnel()  # overlap the tunneled TPU's one-time bootstrap with IO/matchers
     args = build_argparser().parse_args(argv)
     verbose = args.verbose not in ("0", "false", "False")
     from faldoi_tpu.profiling import StageTimer, device_trace

@@ -15,6 +15,9 @@ from faldoi_tpu.cli.faldoi_deep import build_argparser, deepmatch_both
 
 
 def main(argv=None):
+    from faldoi_tpu.profiling import warm_tunnel
+
+    warm_tunnel()  # overlap the tunneled TPU's one-time bootstrap with IO/matchers
     parser = build_argparser()
     parser.set_defaults(vm="8")
     parser.set_defaults(fb_thresh="13")

@@ -112,6 +112,9 @@ def compute_sift_matches(im0, im1, nsp, res, core1, core2, verbose):
 
 
 def main(argv=None):
+    from faldoi_tpu.profiling import warm_tunnel
+
+    warm_tunnel()  # overlap the tunneled TPU's one-time bootstrap with IO/matchers
     args = build_argparser().parse_args(argv)
     verbose = args.verbose not in ("0", "false", "False")
     from faldoi_tpu.profiling import StageTimer, device_trace

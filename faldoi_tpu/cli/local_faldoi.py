@@ -23,6 +23,9 @@ from faldoi_tpu.cli.global_faldoi import pick_option
 
 
 def main(argv=None):
+    from faldoi_tpu.profiling import warm_tunnel
+
+    warm_tunnel()  # overlap the tunneled TPU's one-time bootstrap with IO/matchers
     args = list(sys.argv[1:] if argv is None else argv)
     wr = int(pick_option(args, "wr", str(P.PAR_DEFAULT_WINSIZE)))
     method = int(pick_option(args, "m", str(P.M_TVL1)))

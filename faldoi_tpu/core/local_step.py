@@ -65,6 +65,7 @@ class GrowState(NamedTuple):
     wchi: jnp.ndarray
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
 def init_state(h: int, w: int) -> GrowState:
     n = h * w + 1
     z = jnp.zeros((n,), jnp.float32)
@@ -954,6 +955,21 @@ def seed_batch(
         wu=wu, wv=wv, wchi=wchi if with_chi else state.wchi)
 
 
+@jax.jit
+def _refix_seeds(state: GrowState, idx, su, sv) -> GrowState:
+    """Overwrite seed pixels with their original flow at zero energy
+    (local_faldoi.cpp:785-795), one program instead of five eager scatters
+    (per-op compile RPCs dominate fresh-process warmup on the tunneled
+    TPU)."""
+    return state._replace(
+        fixed=state.fixed.at[idx].set(True),
+        out_u=state.out_u.at[idx].set(su),
+        out_v=state.out_v.at[idx].set(sv),
+        ene=state.ene.at[idx].set(0.0),
+        cand_e=state.cand_e.at[idx].set(jnp.inf),
+    )
+
+
 class LocalSolver:
     """Orchestrates the iterated local growing for one direction pair
     (``match_growing_variational``, local_faldoi.cpp:1060-1741)."""
@@ -1009,16 +1025,19 @@ class LocalSolver:
                 max_iters=self.kw["max_iters"],
                 with_chi=self.kw["with_chi"],
             )
-        # re-fix seeds with original flow and zero energy (:785-795)
-        idx = jnp.asarray(np.concatenate([pos, [n]]))
-        state = state._replace(
-            fixed=state.fixed.at[idx].set(True),
-            out_u=state.out_u.at[idx].set(jnp.asarray(np.append(su[pos], 0.0))),
-            out_v=state.out_v.at[idx].set(jnp.asarray(np.append(sv[pos], 0.0))),
-            ene=state.ene.at[idx].set(0.0),
-            cand_e=state.cand_e.at[idx].set(jnp.inf),
+        # re-fix seeds with original flow and zero energy (:785-795); pad
+        # the index list to a seed_bsz multiple so the jitted program is
+        # shared across directions (extra entries hit the n dump slot,
+        # which the unpadded version wrote identically)
+        npad = -(len(pos) + 1) % b
+        idx = jnp.asarray(np.concatenate([pos, np.full(npad + 1, n)]))
+        return _refix_seeds(
+            state, idx,
+            jnp.asarray(np.concatenate([su[pos], np.zeros(npad + 1)]),
+                        jnp.float32),
+            jnp.asarray(np.concatenate([sv[pos], np.zeros(npad + 1)]),
+                        jnp.float32),
         )
-        return state
 
     def grow(self, state: GrowState, sconsts, trust, sal, iteration,
              max_sweeps=100000, snapshot_cb=None) -> GrowState:
@@ -1095,6 +1114,9 @@ class LocalSolver:
         it = jnp.asarray(iteration, jnp.int32)
         self.last_sweeps = 0
         pending = None
+        import os as _os3
+        import time as _time3
+        _ctimer = _os3.environ.get("FALDOI_GROW_CHUNK_TIMER", "0") == "1"
         # pin the rank floor to the NOMINAL batch so adaptation cannot
         # change the acceptance rule
         floor = self.floor
@@ -1105,11 +1127,32 @@ class LocalSolver:
         # cache); a sparser {512,2048,8192} ladder was measured SLOWER
         # end-to-end (196.6 s vs 159.2 s) — the intermediate sizes earn
         # their trace time
-        ladder = tuple(b for b in (512, 1024, 2048, 4096, 8192)
-                       if b < self.bsz)
+        # FALDOI_GROW_LADDER=csv overrides the rung set — every rung is a
+        # separate program and the tunneled server compiles serially at
+        # erratic latency (60-300+ s per big program, no client-side AOT:
+        # libtpu version mismatch), so fresh-process warmup scales with
+        # rung count; a 2-rung ladder trades a little steady-state speed
+        # for half the warmup compiles.
+        _lad = _os3.environ.get("FALDOI_GROW_LADDER")
+        if _lad:
+            rungs = tuple(int(x) for x in _lad.split(","))
+        else:
+            rungs = (512, 1024, 2048, 4096, 8192)
+        ladder = tuple(b for b in rungs if b < self.bsz)
         ladder = ladder + (self.bsz,)
         cur = ladder[min(1, len(ladder) - 1)]
+        if _os3.environ.get("FALDOI_GROW_PREWARM", "1") == "1":
+            # compile the rung programs this drain will reach on a daemon
+            # thread: the tunneled server compiles/loads serially with
+            # erratic latency (4 s .. minutes per big program), but it
+            # KEEPS EXECUTING other programs meanwhile (measured), so
+            # overlapping the loads with the drain's sweeps hides most of
+            # the fresh-process warmup.  jax's jit cache is shared across
+            # threads: the drain's own call to an in-flight signature just
+            # waits on the same compile instead of duplicating it.
+            self._prewarm(st2, sc2, trust2, sal2, it, ladder, cur, fi, floor)
         for _ in range(max_sweeps):
+            _t3 = _time3.time() if _ctimer else 0.0
             st2, n_acc, max_acc = grow_chunk_pair(
                 st2, self.solver, sc2, trust2, sal2, it,
                 self.h, self.w, self.wr, cur, delta=self.delta,
@@ -1118,6 +1161,11 @@ class LocalSolver:
                 delta_rel=self.delta_rel, floor_scale=self.floor_scale,
                 block=self.block, first_iter=fi, **self.kw
             )
+            if _ctimer:
+                n_acc.block_until_ready()
+                print(f"(chunk) bsz={cur} {_time3.time() - _t3:.3f}s",
+                      flush=True)
+            LocalSolver._prewarmed.add(self._sig_key(cur, fi))
             self.last_sweeps += self.chunk
             if snapshot_cb is not None:
                 n = self.h * self.w
@@ -1126,10 +1174,17 @@ class LocalSolver:
                 if int(n_acc.sum()) == 0:
                     break
             else:
+                _t3 = _time3.time() if _ctimer else 0.0
                 if pending is not None and int(pending.sum()) == 0:
                     break
                 pending = n_acc
+                if _ctimer and _time3.time() - _t3 > 1.0:
+                    print(f"(sync pending) {_time3.time() - _t3:.3f}s",
+                          flush=True)
+            _t3 = _time3.time() if _ctimer else 0.0
             mx = int(max_acc)
+            if _ctimer and _time3.time() - _t3 > 1.0:
+                print(f"(sync max_acc) {_time3.time() - _t3:.3f}s", flush=True)
             if mx >= cur and cur < ladder[-1]:
                 cur = ladder[min(ladder.index(cur) + 1, len(ladder) - 1)]
             elif mx < cur // 3 and cur > ladder[0]:
@@ -1137,6 +1192,51 @@ class LocalSolver:
                 cur = next((b for b in ladder if b >= mx + mx // 2),
                            ladder[-1])
         return st2
+
+    def _prewarm(self, st2, sc2, trust2, sal2, it, ladder, cur, fi, floor):
+        """Background-compile the ladder's rung programs in likely-use
+        order: the current rung's upshift chain first, then the below-cur
+        rungs, then (during iteration 0 only) the first_iter=False variants
+        the requeue drains will need minutes later."""
+        import threading
+
+        done = LocalSolver._prewarmed
+        variants = [(b, fi) for b in ladder[ladder.index(cur):]]
+        variants += [(b, fi) for b in reversed(ladder[:ladder.index(cur)])]
+        if fi:
+            variants += [(b, False) for b in reversed(ladder)]
+
+        def _call(b, f_):
+            # a real (discarded) call, not lower().compile(): only a call
+            # populates the jit dispatch cache the drain's own calls hit;
+            # the 1-chunk execution it adds (<2 s) rides the device queue
+            grow_chunk_pair(
+                st2, self.solver, sc2, trust2, sal2, it,
+                self.h, self.w, self.wr, b, delta=self.delta,
+                chunk=self.chunk, fill=self.fill, floor=floor,
+                relax=self.relax, relax_margin=self.relax_margin,
+                delta_rel=self.delta_rel, floor_scale=self.floor_scale,
+                block=self.block, first_iter=f_, **self.kw
+            )
+
+        def _run():
+            for b, f_ in variants:
+                key = self._sig_key(b, f_)
+                if key in done:
+                    continue
+                try:
+                    _call(b, f_)
+                except Exception:
+                    pass  # prewarm is best-effort; the drain compiles lazily
+                done.add(key)
+
+        threading.Thread(target=_run, daemon=True).start()
+
+    def _sig_key(self, b, f_):
+        return (self.h, self.w, self.wr, b, f_, self.fill, self.chunk,
+                self.relax, self.block)
+
+    _prewarmed: set = set()
 
     def _grow_step_mode(self, state, sconsts, trust, sal, it, max_sweeps,
                         first_iter=False):

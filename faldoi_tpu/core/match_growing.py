@@ -109,6 +109,33 @@ def _warm_requeue(state: GrowState, trust, n, h, w, band) -> GrowState:
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n", "h", "w", "warm_band"))
+def _prune_requeue_pair(st2, i0n, i1n, epsilon, *, n, h, w, warm_band):
+    """One program for the whole inter-iteration step on the paired state:
+    extract fwd/bwd flows, FB-prune, rebuild the trust planes, requeue.
+
+    Fusing this matters for process warmup, not steady-state speed: run
+    eagerly, the requeue's dilation/masking glue compiles ~80 tiny
+    single-op programs and each compile RPC through the tunneled TPU has a
+    ~0.5 s floor (measured: prune+requeue it=0 took 45 s in a fresh
+    process vs 0.1 s warm)."""
+    fwd = jnp.stack([st2.out_u[0, :n].reshape(h, w),
+                     st2.out_v[0, :n].reshape(h, w)], axis=-1)
+    bwd = jnp.stack([st2.out_u[1, :n].reshape(h, w),
+                     st2.out_v[1, :n].reshape(h, w)], axis=-1)
+    tg, tb = prune(i0n, i1n, fwd, bwd, epsilon)
+    trust2 = jnp.concatenate(
+        [jnp.stack([tg.reshape(-1), tb.reshape(-1)]),
+         jnp.ones((2, 1), jnp.int32)], axis=1,
+    )
+    if warm_band:
+        st2 = _warm_requeue(st2, trust2, n, h, w, warm_band)
+    else:
+        st2 = _insert_potential(_delete_untrusted(st2, trust2, n), n)
+    return st2, trust2, tg, tb
+
+
 def warp_window_overflow(flow: np.ndarray, wr: int, win: int) -> int:
     """Count pixels whose 11x11-patch warp could overflow the shared MXU
     sampling window (ops.bicubic.bicubic_window_sample clamps such samples
@@ -311,6 +338,9 @@ def match_growing(
     # binaries (gate 0.05) where any whole-image fill or constant rank
     # floor diverges by >1 px.  See scripts/run_parity.py and PARITY.md.
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
+    from faldoi_tpu.profiling import warm_tunnel
+
+    warm_tunnel()  # async; a no-op if the driver already fired it
     mode = os.environ.get("FALDOI_GROW_MODE", mode)
     if mode == "auto":
         # fused single-program execution is ideal where launches are cheap
@@ -570,21 +600,15 @@ def match_growing(
                 st2 = _polish_pair(st2, sc2, sal2)
             t = tick(f"growings it={it} (paired, <= {ls.last_sweeps} sweeps)",
                      t)
-            fwd = jnp.stack([st2.out_u[0, :n].reshape(h, w),
-                             st2.out_v[0, :n].reshape(h, w)], axis=-1)
-            bwd = jnp.stack([st2.out_u[1, :n].reshape(h, w),
-                             st2.out_v[1, :n].reshape(h, w)], axis=-1)
-            tg, tb = prune(i0n, i1n, fwd, bwd, prm.epsilon)
+            st2, trust2, tg, tb = _prune_requeue_pair(
+                st2, i0n, i1n, jnp.float32(prm.epsilon),
+                n=n, h=h, w=w, warm_band=warm_band,
+            )
             if verbose:
                 print(
                     f"iter {it}: FB-chosen fwd {float(tg.mean()):.3f} "
                     f"bwd {float(tb.mean()):.3f}"
                 )
-            trust2 = jnp.concatenate(
-                [jnp.stack([tg.reshape(-1), tb.reshape(-1)]),
-                 jnp.ones((2, 1), jnp.int32)], axis=1,
-            )
-            st2 = _requeue(st2, trust2)
             if bilateral:
                 st_go = _bfill(jax.tree.map(lambda a: a[0], st2), tg)
                 st_ba = _bfill(jax.tree.map(lambda a: a[1], st2), tb)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,15 +27,21 @@ def to_gray(planes: np.ndarray) -> np.ndarray:
     return planes[0] if planes.shape[0] == 1 else rgb_to_gray(planes)
 
 
+@jax.jit
+def _normalize_smooth_pair(a, b):
+    a, b = image_normalization(a, b)
+    return (gaussian_smooth(a, PRESMOOTHING_SIGMA),
+            gaussian_smooth(b, PRESMOOTHING_SIGMA))
+
+
 def prepare_pair(i0_planes: np.ndarray, i1_planes: np.ndarray):
     """Gray + joint-normalize + presmooth a frame pair (local/global TVL1
-    path; energy_model.cpp:660-687)."""
+    path; energy_model.cpp:660-687).  One jitted program — eager, the
+    normalization/smoothing glue costs ~10 per-op compile RPCs per process
+    on the tunneled TPU."""
     a = jnp.asarray(to_gray(i0_planes))
     b = jnp.asarray(to_gray(i1_planes))
-    a, b = image_normalization(a, b)
-    a = gaussian_smooth(a, PRESMOOTHING_SIGMA)
-    b = gaussian_smooth(b, PRESMOOTHING_SIGMA)
-    return a, b
+    return _normalize_smooth_pair(a, b)
 
 
 def prepare_triple(i0_planes, i1_planes, i_1_planes):

@@ -57,3 +57,38 @@ def device_trace(logdir: Optional[str] = None):
 
     with jax.profiler.trace(logdir):
         yield
+
+
+_tunnel_warmed = False
+
+
+def warm_tunnel(sync: bool = False) -> None:
+    """Absorb the tunneled TPU backend's one-time first-transfer stall.
+
+    The axon relay's first device->host literal transfer of a process
+    triggers a server-side bootstrap measured at 70-850 s (erratic); fired
+    mid-pipeline it stalls the growing's first ladder sync for that long
+    (EXPERIMENTS_r03.jsonl ctimer2-4).  Fired at process start on an empty
+    device it was measured at the low end, and a daemon thread lets data
+    loading / tracing / compiles proceed under it.  Idempotent per process;
+    a no-op wherever transfers are instant (CPU, healthy local devices).
+    """
+    global _tunnel_warmed
+    if _tunnel_warmed:
+        return
+    _tunnel_warmed = True
+
+    def _go():
+        try:
+            import jax.numpy as jnp
+
+            float(jnp.zeros(()))
+        except Exception:
+            pass
+
+    if sync:
+        _go()
+        return
+    import threading
+
+    threading.Thread(target=_go, daemon=True).start()

@@ -28,6 +28,12 @@ import jax.numpy as jnp
 
 print(f"# device: {jax.devices()[0]}", flush=True)
 
+from faldoi_tpu.profiling import warm_tunnel
+
+_t0 = time.time()
+warm_tunnel(sync=True)  # absorb the tunnel's one-time first-transfer stall
+print(f"# d2h warm: {time.time() - _t0:.2f}s", flush=True)
+
 from faldoi_tpu.io import read_flo
 from faldoi_tpu.io.image import read_image_split
 from faldoi_tpu.core.preprocess import prepare_pair
