@@ -348,13 +348,21 @@ def _sweep_body(
         is_min = eligible <= wmin2
         min_at = jnp.concatenate([is_min, jnp.zeros((1,), bool)])[idx]
         valid = jnp.isfinite(neg_e) & min_at
-        if _os2.environ.get("FALDOI_GROW_EXACTMIN_BAND", "0") == "1":
+        _emb = _os2.environ.get("FALDOI_GROW_EXACTMIN_BAND", "0")
+        if _emb == "1":
             # ALSO require the GLOBAL delta band (no rank floor): window
             # minima outside the band wait for the globally-lower fronts —
             # the serial heap's cross-region arbitration.  Progress is
             # still guaranteed: the global minimum is always a window
-            # minimum and always in band.
+            # minimum and always in band.  Best parity measured (rg
+            # 0.1297) but near-serial sparse phases (~29 min full-scale).
             valid = valid & e_ok
+        elif _emb == "2":
+            # band-or-floor: out-of-band window minima still advance when
+            # they are in the global top-rank slice — bounds the sweep
+            # count like the default throttle while keeping most of the
+            # band's cross-region arbitration.
+            valid = valid & (e_ok | (rank < floor_dyn))
 
     pop_u = state.cand_u[idx]
     pop_v = state.cand_v[idx]
