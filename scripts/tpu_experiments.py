@@ -80,6 +80,8 @@ CONFIGS = {
     "d02": dict(delta=0.02),
     "drel1": dict(delta_rel=1.0),
     "fs32": dict(floor_scale=32),
+    "fs128": dict(floor_scale=128),
+    "fs256": dict(floor_scale=256),
 }
 
 
