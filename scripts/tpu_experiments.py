@@ -82,6 +82,32 @@ CONFIGS = {
     "fs32": dict(floor_scale=32),
     "fs128": dict(floor_scale=128),
     "fs256": dict(floor_scale=256),
+    # post-seedfix speed direction: the seed-payload fix (733da8e) halved
+    # rg/var error at identical dials, so the speed end of the frontier
+    # (looser bands / wider warm skips) must be re-measured — a config that
+    # failed the 0.05 var gate pre-fix may pass it now at a fraction of the
+    # time.  Env dials are applied per-config via the "_env" key.
+    "pf_base": {},
+    "pf_d02": dict(delta=0.02),
+    "pf_d05": dict(delta=0.05),
+    "pf_fs32": dict(floor_scale=32),
+    "pf_fs16": dict(floor_scale=16),
+    "pf_d02_fs32": dict(delta=0.02, floor_scale=32),
+    "pf_d05_fs16": dict(delta=0.05, floor_scale=16),
+    "pf_warm5": dict(_env={"FALDOI_GROW_WARM_BAND": "5"}),
+    "pf_warm5_d02": dict(delta=0.02,
+                         _env={"FALDOI_GROW_WARM_BAND": "5"}),
+    "pf_staged16": dict(floor=8192, floor_scale_hi=16, queue_hi=32768),
+    "pf_drel1": dict(delta_rel=1.0),
+    # pipelined vs blocking rung adaptation (grow_pair max_acc sync)
+    "ab_sync_d05": dict(delta=0.05,
+                        _env={"FALDOI_GROW_SYNC_ADAPT": "1"}),
+    "ab_pipe_d05": dict(delta=0.05),
+    "ab_pipe_d05_b": dict(delta=0.05),
+    "ab_sync_d05_b": dict(delta=0.05,
+                          _env={"FALDOI_GROW_SYNC_ADAPT": "1"}),
+    "ab_pipe_d05_fs16": dict(delta=0.05, floor_scale=16),
+    "ab_pipe_d05_fs32": dict(delta=0.05, floor_scale=32),
 }
 
 
@@ -103,7 +129,10 @@ def main():
     names = sys.argv[1:] or ["block16", "relax", "block16_relax", "flood"]
     for name in names:
         kw = dict(BASE_KW, **CONFIGS[name])
-        print(f"=== {name}: {kw} ===", flush=True)
+        cfg_env = kw.pop("_env", {})
+        saved_env = {k: os.environ.get(k) for k in cfg_env}
+        os.environ.update(cfg_env)
+        print(f"=== {name}: {kw} env={cfg_env} ===", flush=True)
         t0 = time.time()
         flow, ene, _ = match_growing(go, ba, a, b, prm, verbose=True, **kw)
         t_local = time.time() - t0
@@ -133,6 +162,11 @@ def main():
         print(json.dumps(rec), flush=True)
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         save = os.environ.get("FALDOI_EXP_SAVE")
         if save:
             from faldoi_tpu.io import write_flo
