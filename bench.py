@@ -104,7 +104,7 @@ def main():
     # accuracy at large batch sizes (see core/local_step.py)
     # parity-validated growing config (see core/match_growing defaults):
     # patch-local fill + tight band + queue-adaptive floor
-    delta = float(os.environ.get("FALDOI_BENCH_DELTA", "0.01"))
+    delta = float(os.environ.get("FALDOI_BENCH_DELTA", "0.05"))
     delta_rel = float(os.environ.get("FALDOI_BENCH_DELTA_REL", "0.5"))
     relax = os.environ.get("FALDOI_BENCH_RELAX", "0") == "1"
 

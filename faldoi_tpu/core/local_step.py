@@ -1159,6 +1159,16 @@ class LocalSolver:
             # threads: the drain's own call to an in-flight signature just
             # waits on the same compile instead of duplicating it.
             self._prewarm(st2, sc2, trust2, sal2, it, ladder, cur, fi, floor)
+        # PIPELINED ADAPTATION (default): the rung choice for the next
+        # chunk reads the PREVIOUS chunk's max_acc (already complete on
+        # device) instead of syncing the one just dispatched — int(max_acc)
+        # on the in-flight chunk blocks the host for the full chunk runtime
+        # + tunnel RTT (~0.3 s x ~38 chunks per full-scale drain), leaving
+        # the device idle between chunks.  The lag costs one chunk of
+        # delayed upshift, which only truncates top-k harder (stricter
+        # order, parity-safe — same invariance argument as adaptation
+        # itself).  FALDOI_GROW_SYNC_ADAPT=1 restores the blocking sync.
+        _sync_adapt = _os3.environ.get("FALDOI_GROW_SYNC_ADAPT", "0") == "1"
         for _ in range(max_sweeps):
             _t3 = _time3.time() if _ctimer else 0.0
             st2, n_acc, max_acc = grow_chunk_pair(
@@ -1181,18 +1191,23 @@ class LocalSolver:
                 snapshot_cb(jax.tree.map(lambda a: a[0], st2), frac)
                 if int(n_acc.sum()) == 0:
                     break
+                mx = int(max_acc)
             else:
                 _t3 = _time3.time() if _ctimer else 0.0
-                if pending is not None and int(pending.sum()) == 0:
+                if pending is not None and int(pending[0].sum()) == 0:
                     break
-                pending = n_acc
+                if _sync_adapt:
+                    mx = int(max_acc)
+                elif pending is not None:
+                    mx = int(pending[1])
+                else:
+                    mx = None  # first chunk: nothing complete yet
+                pending = (n_acc, max_acc)
                 if _ctimer and _time3.time() - _t3 > 1.0:
                     print(f"(sync pending) {_time3.time() - _t3:.3f}s",
                           flush=True)
-            _t3 = _time3.time() if _ctimer else 0.0
-            mx = int(max_acc)
-            if _ctimer and _time3.time() - _t3 > 1.0:
-                print(f"(sync max_acc) {_time3.time() - _t3:.3f}s", flush=True)
+            if mx is None:
+                continue
             if mx >= cur and cur < ladder[-1]:
                 cur = ladder[min(ladder.index(cur) + 1, len(ladder) - 1)]
             elif mx < cur // 3 and cur > ladder[0]:

@@ -319,7 +319,7 @@ def match_growing(
     bsz: int = 4096,
     verbose: bool = False,
     mode: str = "auto",
-    delta: float = 0.01,
+    delta: float = 0.05,
     chunk: int = 64,
     fused=None,
     fill: str = "patch",
@@ -334,9 +334,14 @@ def match_growing(
 ) -> Tuple[np.ndarray, np.ndarray]:
     # Defaults validated against the reference binaries on the seed-sparse
     # 192x256 crop (the adversarial fixture for wavefront ordering): patch
-    # fill + delta=0.01 + floor_scale=64 give var EPE 0.0257 vs the
+    # fill + a tight delta band + floor_scale=64 give var EPE 0.0257 vs the
     # binaries (gate 0.05) where any whole-image fill or constant rank
     # floor diverges by >1 px.  See scripts/run_parity.py and PARITY.md.
+    # delta=0.05 (not 0.01): the post-seedfix full-scale re-sweep measured
+    # 0.05 strictly better — 43.5 s / rg 0.2520 / var 0.0089 vs 48.1 s /
+    # 0.2623 / 0.0096 (EXPERIMENTS_r03.jsonl pf_d05); the absolute band
+    # only binds in near-zero-energy phases (elsewhere the relative band
+    # 0.5*e_min dominates, making 0.01 vs 0.02 bit-identical).
     """Returns (flow (h,w,2), energy (h,w)) for the forward direction."""
     from faldoi_tpu.profiling import warm_tunnel
 

@@ -308,12 +308,12 @@ def pipeline_train_step(mesh: Mesh, batch_i0, batch_i1, batch_seeds,
 
         def body(_, st):
             # the PRODUCTION growing config (match_growing defaults for
-            # m0: patch fill with red-black relax, delta 0.01/rel 0.5,
+            # m0: patch fill with red-black relax, delta 0.05/rel 0.5,
             # queue-adaptive floor scale 64, dense-phase floor 4096)
             st, _acc = _sweep_body(
                 st, solve_tvl1, sc, trust2d, sal,
                 jnp.asarray(iteration, jnp.int32),
-                h, w, wr, bsz, 1, 4, delta=0.01, delta_rel=0.5,
+                h, w, wr, bsz, 1, 4, delta=0.05, delta_rel=0.5,
                 fill="patch_rb", floor=4096, floor_scale=64, relax=False,
                 with_chi=False,
             )

@@ -93,7 +93,7 @@ def drain_spatial(
     warps: int, max_iters: int,
     halo: int, axis_name: str = "space",
     max_sweeps: int = 10_000,
-    delta: float = 0.01, fill: str = "patch_rb", floor=None,
+    delta: float = 0.05, fill: str = "patch_rb", floor=None,
     relax: bool = False, relax_margin: float = 0.95, delta_rel: float = 0.5,
     floor_scale: int = 64, with_chi: bool = True,
 ):
@@ -227,7 +227,7 @@ def spatial_match_growing(
     go: np.ndarray, ba: np.ndarray,
     i0n, i1n, prm,
     bsz: int = 8192, halo: int = 8,
-    delta: float = 0.01, fill: str = "patch", relax: bool = False,
+    delta: float = 0.05, fill: str = "patch", relax: bool = False,
     delta_rel: float = 0.5, floor_scale: int = 64,
     verbose: bool = False,
 ):
