@@ -90,6 +90,26 @@ def init_state(h: int, w: int) -> GrowState:
 RECLAIM_BIAS = 1.0e6
 
 
+def ordering_dials():
+    """Snapshot the trace-time ordering-dial env knobs as a hashable tuple.
+
+    These knobs are baked into the sweep program at trace time; passing the
+    tuple as a STATIC jit argument makes an in-process env change retrace
+    instead of silently reusing a program compiled under the old values
+    (measured: FALDOI_GROW_EXACTMIN flipped mid-process produced
+    bit-identical outputs to the cached no-exactmin program)."""
+    import os
+
+    return (
+        int(os.environ.get("FALDOI_GROW_EXACTMIN", "0") or 0),
+        os.environ.get("FALDOI_GROW_EXACTMIN_BAND", "0"),
+        float(os.environ.get("FALDOI_GROW_DEFER", "0") or 0),
+        int(os.environ.get("FALDOI_GROW_DEFER_WIN", "0") or 0),
+        os.environ.get("FALDOI_WSCATTER", "approx"),
+        os.environ.get("FALDOI_ABLATE", ""),
+    )
+
+
 def _patch_geometry(idx, h, w, wr, ymin=0, ymax=None):
     """get_index_patch (utils.cpp:36-54) for flat indices.
 
@@ -194,7 +214,7 @@ def _sweep_body(
     relax_margin=0.95, delta_rel=0.0, floor_scale=0, block=0,
     floor_scale_hi=0, queue_hi=1 << 30,
     owned=None, ybounds=None, row_offset=None, band_axis=None,
-    with_wkey=False, with_chi=True, first_iter=False,
+    with_wkey=False, with_chi=True, first_iter=False, dials=None,
 ):
     """One wavefront sweep. Returns (state, n_accepted).
 
@@ -225,12 +245,16 @@ def _sweep_body(
     dump = n
     p = 2 * wr + 1
 
-    # measurement-only ablations (trace-time env; run in a fresh process):
-    # FALDOI_ABLATE=nofill|nosolve|nowscatter — cuts that phase out of the
-    # program (XLA DCEs the dead chain) so its true in-program cost can be
-    # measured by difference.  NEVER set in production.
-    import os as _os
-    _ablate = _os.environ.get("FALDOI_ABLATE", "")
+    # Ordering dials (exactmin / defer / wscatter / ablate) are STATIC
+    # program structure; jitted callers pass ``dials`` (ordering_dials())
+    # through their static args so env changes retrace.  Direct callers
+    # (drain_spatial re-traces every call) may omit it.
+    if dials is None:
+        dials = ordering_dials()
+    # measurement-only ablations: FALDOI_ABLATE=nofill|nosolve|nowscatter —
+    # cuts that phase out of the program (XLA DCEs the dead chain) so its
+    # true in-program cost can be measured by difference. NEVER in production.
+    _ablate = dials[5]
 
     if relax:
         # LABEL-CORRECTING RELAXATION (Bellman-Ford where the reference's
@@ -337,8 +361,7 @@ def _sweep_body(
     # candidate in its window (cascaded inserts from outside the window are
     # the only approximation).  Replaces the band/floor throttles when on.
     # Measurement knob for the ordering frontier (PARITY.md deviation #1).
-    import os as _os2
-    _exact = int(_os2.environ.get("FALDOI_GROW_EXACTMIN", "0") or 0)
+    _exact = dials[0]
     if _exact > 0:
         el2 = eligible.reshape(h, w)
         r_ = jax.lax.reduce_window(el2, jnp.inf, jax.lax.min,
@@ -348,7 +371,7 @@ def _sweep_body(
         is_min = eligible <= wmin2
         min_at = jnp.concatenate([is_min, jnp.zeros((1,), bool)])[idx]
         valid = jnp.isfinite(neg_e) & min_at
-        _emb = _os2.environ.get("FALDOI_GROW_EXACTMIN_BAND", "0")
+        _emb = dials[1]
         if _emb == "1":
             # ALSO require the GLOBAL delta band (no rank floor): window
             # minima outside the band wait for the globally-lower fronts —
@@ -385,9 +408,9 @@ def _sweep_body(
     # heuristic is shard-local).  In relax mode the comparison key carries
     # RECLAIM_BIAS for re-claims, which makes deferral strictly more
     # conservative there (re-claims rank behind all frontier accepts).
-    _defer = float(_os.environ.get("FALDOI_GROW_DEFER", "0") or 0)
+    _defer = dials[2]
     if _defer > 0:
-        wsz = int(_os.environ.get("FALDOI_GROW_DEFER_WIN", str(2 * wr + 1)))
+        wsz = dials[3] or (2 * wr + 1)
         acc_i = jnp.where(valid, idx, dump)
         acc_e = jnp.where(valid, e_pop, jnp.inf)
         inf1 = jnp.full((n + 1,), jnp.inf, e_pop.dtype)
@@ -655,7 +678,7 @@ def _sweep_body(
             schi.reshape(-1) if with_chi else None,
             cell_ok.reshape(-1), dump,
             # cross-shard merges consume the key plane -> exact required
-            exact=True if with_wkey else None,
+            exact=True if with_wkey else (dials[4] == "exact"),
         )
     if not with_chi:
         wchi = state.wchi
@@ -671,7 +694,7 @@ def _sweep_body(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
-        "fill", "relax", "block", "with_chi", "first_iter",
+        "fill", "relax", "block", "with_chi", "first_iter", "dials",
     ),
 )
 def grow_to_completion(
@@ -684,7 +707,7 @@ def grow_to_completion(
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
-    first_iter: bool = False,
+    first_iter: bool = False, dials: tuple = None,
 ):
     """Run wavefront sweeps until the candidate queue drains — a single
     device program (lax.while_loop over sweeps)."""
@@ -705,7 +728,7 @@ def grow_to_completion(
             relax_margin=relax_margin, delta_rel=delta_rel,
             floor_scale=floor_scale, block=block, with_chi=with_chi,
             floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
-            first_iter=first_iter,
+            first_iter=first_iter, dials=dials,
         )
         return (st, n_acc, sweeps + 1)
 
@@ -718,7 +741,7 @@ def grow_to_completion(
     jax.jit,
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
-        "fill", "relax", "block", "with_chi", "first_iter",
+        "fill", "relax", "block", "with_chi", "first_iter", "dials",
     ),
 )
 def grow_step(
@@ -731,7 +754,7 @@ def grow_step(
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
-    first_iter: bool = False,
+    first_iter: bool = False, dials: tuple = None,
 ):
     """One sweep per dispatch — fallback path for hosts where the fused
     while_loop program is too large for the remote TPU compiler; also handy
@@ -746,7 +769,7 @@ def grow_step(
         relax_margin=relax_margin, delta_rel=delta_rel,
         floor_scale=floor_scale, block=block, with_chi=with_chi,
         floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
-        first_iter=first_iter,
+        first_iter=first_iter, dials=dials,
     )
 
 
@@ -755,6 +778,7 @@ def grow_step(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
         "chunk", "fill", "relax", "block", "with_chi", "first_iter",
+        "dials",
     ),
 )
 def grow_chunk(
@@ -767,7 +791,7 @@ def grow_chunk(
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
-    first_iter: bool = False,
+    first_iter: bool = False, dials: tuple = None,
 ):
     """Up to ``chunk`` sweeps per dispatch — amortises host->device dispatch
     latency (significant through the tunneled TPU) without the compile cost
@@ -789,7 +813,7 @@ def grow_chunk(
             relax_margin=relax_margin, delta_rel=delta_rel,
             floor_scale=floor_scale, block=block, with_chi=with_chi,
             floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
-            first_iter=first_iter,
+            first_iter=first_iter, dials=dials,
         )
         return (st, n_acc, k + 1)
 
@@ -803,6 +827,7 @@ def grow_chunk(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
         "chunk", "fill", "relax", "block", "with_chi", "first_iter",
+        "dials",
     ),
 )
 def grow_chunk_pair(
@@ -815,7 +840,7 @@ def grow_chunk_pair(
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
-    first_iter: bool = False,
+    first_iter: bool = False, dials: tuple = None,
 ):
     """Bounded-chunk drain of BOTH growing directions in one program.
 
@@ -839,7 +864,7 @@ def grow_chunk_pair(
             relax_margin=relax_margin, delta_rel=delta_rel,
             floor_scale=floor_scale, block=block, with_chi=with_chi,
             floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
-            first_iter=first_iter,
+            first_iter=first_iter, dials=dials,
         ),
         in_axes=(0, 0, 0, 0, None),
     )
@@ -1067,7 +1092,7 @@ class LocalSolver:
                 fill=self.fill, floor=self.floor, relax=self.relax,
                 relax_margin=self.relax_margin, delta_rel=self.delta_rel,
                 floor_scale=self.floor_scale, block=self.block,
-                first_iter=fi, **self.kw
+                first_iter=fi, dials=ordering_dials(), **self.kw
             )
             self.last_sweeps = int(_sweeps)
             return state
@@ -1079,7 +1104,8 @@ class LocalSolver:
                     chunk=self.chunk, fill=self.fill, floor=self.floor,
                     relax=self.relax, relax_margin=self.relax_margin,
                     delta_rel=self.delta_rel, floor_scale=self.floor_scale,
-                    block=self.block, first_iter=fi, **self.kw
+                    block=self.block, first_iter=fi,
+                    dials=ordering_dials(), **self.kw
                 )
                 self.last_sweeps += self.chunk
                 if snapshot_cb is not None:
@@ -1125,6 +1151,7 @@ class LocalSolver:
         import os as _os3
         import time as _time3
         _ctimer = _os3.environ.get("FALDOI_GROW_CHUNK_TIMER", "0") == "1"
+        dials = ordering_dials()
         # pin the rank floor to the NOMINAL batch so adaptation cannot
         # change the acceptance rule
         floor = self.floor
@@ -1158,7 +1185,8 @@ class LocalSolver:
             # the fresh-process warmup.  jax's jit cache is shared across
             # threads: the drain's own call to an in-flight signature just
             # waits on the same compile instead of duplicating it.
-            self._prewarm(st2, sc2, trust2, sal2, it, ladder, cur, fi, floor)
+            self._prewarm(st2, sc2, trust2, sal2, it, ladder, cur, fi,
+                          floor, dials)
         # PIPELINED ADAPTATION (default): the rung choice for the next
         # chunk reads the PREVIOUS chunk's max_acc (already complete on
         # device) instead of syncing the one just dispatched — int(max_acc)
@@ -1177,7 +1205,7 @@ class LocalSolver:
                 chunk=self.chunk, fill=self.fill, floor=floor,
                 relax=self.relax, relax_margin=self.relax_margin,
                 delta_rel=self.delta_rel, floor_scale=self.floor_scale,
-                block=self.block, first_iter=fi, **self.kw
+                block=self.block, first_iter=fi, dials=dials, **self.kw
             )
             if _ctimer:
                 n_acc.block_until_ready()
@@ -1216,7 +1244,8 @@ class LocalSolver:
                            ladder[-1])
         return st2
 
-    def _prewarm(self, st2, sc2, trust2, sal2, it, ladder, cur, fi, floor):
+    def _prewarm(self, st2, sc2, trust2, sal2, it, ladder, cur, fi, floor,
+                 dials):
         """Background-compile the ladder's rung programs in likely-use
         order: the current rung's upshift chain first, then the below-cur
         rungs, then (during iteration 0 only) the first_iter=False variants
@@ -1239,7 +1268,7 @@ class LocalSolver:
                 chunk=self.chunk, fill=self.fill, floor=floor,
                 relax=self.relax, relax_margin=self.relax_margin,
                 delta_rel=self.delta_rel, floor_scale=self.floor_scale,
-                block=self.block, first_iter=f_, **self.kw
+                block=self.block, first_iter=f_, dials=dials, **self.kw
             )
 
         def _run():
@@ -1257,7 +1286,7 @@ class LocalSolver:
 
     def _sig_key(self, b, f_):
         return (self.h, self.w, self.wr, b, f_, self.fill, self.chunk,
-                self.relax, self.block)
+                self.relax, self.block, ordering_dials())
 
     _prewarmed: set = set()
 
@@ -1271,7 +1300,7 @@ class LocalSolver:
                 fill=self.fill, floor=self.floor, relax=self.relax,
                 relax_margin=self.relax_margin, delta_rel=self.delta_rel,
                 floor_scale=self.floor_scale, block=self.block,
-                first_iter=first_iter, **self.kw
+                first_iter=first_iter, dials=ordering_dials(), **self.kw
             )
             self.last_sweeps = i + 1
             if (i + 1) % k == 0 and int(n_acc) == 0:

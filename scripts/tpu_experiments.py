@@ -108,6 +108,24 @@ CONFIGS = {
                           _env={"FALDOI_GROW_SYNC_ADAPT": "1"}),
     "ab_pipe_d05_fs16": dict(delta=0.05, floor_scale=16),
     "ab_pipe_d05_fs32": dict(delta=0.05, floor_scale=32),
+    # parity frontier re-timed under pipelined adaptation (the strict
+    # ordering dials have more, smaller sweeps -> were sync-dominated)
+    "fr_d05": dict(delta=0.05),
+    "fr_em11": dict(delta=0.05,
+                    _env={"FALDOI_GROW_EXACTMIN": "11",
+                          "FALDOI_GROW_WARM_BAND": "0"}),
+    "fr_em11_warm": dict(delta=0.05,
+                         _env={"FALDOI_GROW_EXACTMIN": "11"}),
+    "fr_em11_d01": dict(delta=0.01,
+                        _env={"FALDOI_GROW_EXACTMIN": "11",
+                              "FALDOI_GROW_WARM_BAND": "0"}),
+    "fr_em11_bf": dict(delta=0.05,
+                       _env={"FALDOI_GROW_EXACTMIN": "11",
+                             "FALDOI_GROW_EXACTMIN_BAND": "2",
+                             "FALDOI_GROW_WARM_BAND": "0"}),
+    "fr_em11_bf_warm": dict(delta=0.05,
+                            _env={"FALDOI_GROW_EXACTMIN": "11",
+                                  "FALDOI_GROW_EXACTMIN_BAND": "2"}),
 }
 
 

@@ -73,3 +73,22 @@ def test_modes_equivalent(fixture, monkeypatch, knobs):
                 a[fin], b[fin], rtol=0, atol=1e-5,
                 err_msg=f"{mode} vs fused flow ch{ch} ({knobs})",
             )
+
+
+def test_ordering_dials_enter_jit_key(fixture, monkeypatch):
+    """An ordering-dial env knob flipped IN-PROCESS must retrace the sweep
+    programs, not silently reuse the cached no-dial compile.
+
+    Caught live (EXPERIMENTS_r03.jsonl fr_em11_warm): FALDOI_GROW_EXACTMIN
+    set after a prior growing had compiled the sweep programs produced
+    bit-identical outputs to the cached no-exactmin program — the knob was
+    read at trace time without being part of the jit cache key.  The dials
+    now travel as a static argument (local_step.ordering_dials)."""
+    monkeypatch.delenv("FALDOI_GROW_EXACTMIN", raising=False)
+    base, _ = _grow(fixture, "chunked")
+    monkeypatch.setenv("FALDOI_GROW_EXACTMIN", "11")
+    em, _ = _grow(fixture, "chunked")
+    assert not np.allclose(np.nan_to_num(base), np.nan_to_num(em)), (
+        "EXACTMIN=11 output is bit-identical to the default — the env dial "
+        "did not invalidate the jit cache"
+    )
