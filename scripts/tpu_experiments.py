@@ -126,6 +126,19 @@ CONFIGS = {
     "fr_em11_bf_warm": dict(delta=0.05,
                             _env={"FALDOI_GROW_EXACTMIN": "11",
                                   "FALDOI_GROW_EXACTMIN_BAND": "2"}),
+    # post-seedfix WIDE-acceptance re-measure: flood/block/huge-delta were
+    # written off on pre-733a82e numbers (var 0.65), but those runs were
+    # dominated by the seed-payload indexing bug (every scattered candidate
+    # flow came from a wrong lane).  With correct payloads, unordered or
+    # loosely-ordered acceptance may keep var parity at far fewer sweeps.
+    "pf2_d10": dict(delta=0.10),
+    "pf2_d20": dict(delta=0.20),
+    "pf2_block16": dict(delta=0.05, block=16),
+    "pf2_block32": dict(delta=0.05, block=32),
+    "pf2_flood": dict(delta=float("inf"), floor=8192, floor_scale=0),
+    "pf2_drel2": dict(delta=0.05, delta_rel=2.0),
+    "pf2_base": dict(delta=0.05),  # same-session shipping baseline
+    "pf2_relax": dict(delta=0.05, relax=True),
 }
 
 
