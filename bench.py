@@ -99,7 +99,10 @@ def main():
     # compiler (the while_loop-wrapped fused variants have pathological
     # compile times there); dispatches are pipelined (sync every `chunk`)
     mode = os.environ.get("FALDOI_BENCH_MODE", "chunked")
-    repeats = int(os.environ.get("FALDOI_BENCH_REPEATS", "1"))
+    # best-of-2 by default: the tunneled TPU's run-to-run variance is the
+    # dominant noise source (3x day-to-day, see PARITY.md footnote), and a
+    # single post-warmup run can eat a transient relay stall
+    repeats = int(os.environ.get("FALDOI_BENCH_REPEATS", "2"))
     # Delta-stepping band: 0.05 reproduces the serial priority order's
     # accuracy at large batch sizes (see core/local_step.py)
     # parity-validated growing config (see core/match_growing defaults):
