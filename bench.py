@@ -14,7 +14,9 @@ seeds; 291.7 / 4 = 72.9 s is the 16-core estimate used here.  The matcher
 stage is excluded on both sides (it is the same external binary).
 
 Env knobs: FALDOI_BENCH_BSZ (default 8192), FALDOI_BENCH_MODE
-(fused|chunked|step, default chunked), FALDOI_BENCH_REPEATS (default 1).
+(fused|chunked|step, default chunked), FALDOI_BENCH_REPEATS (default 2;
+the emitted JSON records the repeats/stat policy so cross-round numbers
+stay interpretable).
 """
 
 import json
@@ -165,11 +167,13 @@ def main():
     warm = time.time() - t0
     print(f"# warmup (incl. compile): {warm:.1f}s", file=sys.stderr)
 
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.time()
         out = pipeline()
-        best = min(best, time.time() - t0)
+        times.append(time.time() - t0)
+    best = min(times)
+    med = float(np.median(times))
 
     epe_gt = float(
         np.hypot(out[..., 0] - gt[..., 0], out[..., 1] - gt[..., 1]).mean()
@@ -211,6 +215,10 @@ def main():
         "value": round(best, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_16CORE_S / best, 2),
+        "repeats": repeats,
+        "stat": "min",
+        "median": round(med, 3),
+        "warmup_s": round(warm, 1),
     }))
 
 

@@ -127,7 +127,7 @@ CONFIGS = {
                             _env={"FALDOI_GROW_EXACTMIN": "11",
                                   "FALDOI_GROW_EXACTMIN_BAND": "2"}),
     # post-seedfix WIDE-acceptance re-measure: flood/block/huge-delta were
-    # written off on pre-733a82e numbers (var 0.65), but those runs were
+    # written off on pre-733da8e numbers (var 0.65), but those runs were
     # dominated by the seed-payload indexing bug (every scattered candidate
     # flow came from a wrong lane).  With correct payloads, unordered or
     # loosely-ordered acceptance may keep var parity at far fewer sweeps.

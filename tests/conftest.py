@@ -27,3 +27,21 @@ jax.config.update(
                  ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers (the r3 suite hit 43 min warm / >50 min cold, which is
+    how the d8920dd dead-fixture slip happened — a suite too slow to run):
+    tests marked ``slow`` are skipped unless FALDOI_SLOW_TESTS=1 or an
+    explicit ``-m slow`` selection asks for them."""
+    import pytest
+
+    if os.environ.get("FALDOI_SLOW_TESTS"):
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (set FALDOI_SLOW_TESTS=1 or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

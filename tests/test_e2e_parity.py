@@ -69,3 +69,54 @@ def test_growing_fills_every_pixel(pipeline_out):
     reference's local_growing drains the queue until every pixel pops)."""
     rg, _ = pipeline_out
     assert np.isfinite(rg).all(), "unfilled pixels in the growing output"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", [4, 5, 6, 7])
+def test_csad_family_e2e_vs_reference_binaries(method, tmp_path):
+    """CSAD-family (m4-m7) end-to-end local+global vs COMMITTED reference
+    binary outputs (tests/golden/tiny/m{4..7}_{rg,var}.flo, captured by
+    scripts/run_parity.py from the rebuilt binaries — tvcsad_model.cpp:265,
+    tvcsadw_model.cpp:276, nltvcsad_model.cpp:297, nltvcsadw_model.cpp:299).
+    Runs the production CLI path (method dispatch, inert-TV quirk, exact
+    raster-GS fill) on the 48x64 tiny crop with the cached DeepMatching
+    seeds.  Gate: var <= 0.05 (BASELINE.md); rg recorded with a loose
+    regression bound."""
+    from PIL import Image
+
+    from faldoi_tpu.io import write_flo
+    from faldoi_tpu.cli import local_faldoi as lcli
+    from faldoi_tpu.cli import global_faldoi as gcli
+
+    names = []
+    for k, f in enumerate(["frame_0002.png", "frame_0003.png"]):
+        im = np.asarray(Image.open(BASE + f))[SL[0], SL[1]]
+        p = str(tmp_path / f"f{k}.png")
+        Image.fromarray(im).save(p)
+        names.append(p)
+    ims = str(tmp_path / "ims.txt")
+    open(ims, "w").write("\n".join(names) + "\n")
+    seeds = []
+    for k in (1, 2):
+        f = read_flo(GOLD + f"deep_mt_{k}.flo")[SL[0], SL[1]]
+        p = str(tmp_path / f"mt_{k}.flo")
+        write_flo(p, f)
+        seeds.append(p)
+
+    rg_p = str(tmp_path / "rg.flo")
+    var_p = str(tmp_path / "var.flo")
+    m = str(method)
+    assert lcli.main([ims, seeds[0], seeds[1], rg_p,
+                      str(tmp_path / "sim.tiff"), "-m", m]) == 0
+    assert gcli.main([ims, rg_p, var_p, "-m", m]) == 0
+
+    var = read_flo(var_p)
+    rg = read_flo(rg_p)
+    ref_var = read_flo(GOLD + f"tiny/m{method}_var.flo")
+    ref_rg = read_flo(GOLD + f"tiny/m{method}_rg.flo")
+    e_var = _epe(var, ref_var)
+    e_rg = _epe(rg, ref_rg)
+    print(f"m{method} tiny e2e: var={e_var:.4f} rg={e_rg:.4f}")
+    assert e_var <= 0.05, f"m{method} var EPE vs reference binaries"
+    # rg-level regression bound (ordering deviation, see PARITY.md)
+    assert e_rg <= 0.30, f"m{method} rg EPE vs reference binaries"

@@ -43,6 +43,7 @@ def _grow(fixture, mode, **kw):
     return flow, ene
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("knobs", [
     # the production config PLUS block-local bands: block>0 exercises the
     # widest knob plumbing (the class of bug this test exists to catch)
@@ -75,6 +76,7 @@ def test_modes_equivalent(fixture, monkeypatch, knobs):
             )
 
 
+@pytest.mark.slow
 def test_ordering_dials_enter_jit_key(fixture, monkeypatch):
     """An ordering-dial env knob flipped IN-PROCESS must retrace the sweep
     programs, not silently reuse the cached no-dial compile.

@@ -1,6 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +71,7 @@ def test_pipeline_train_step():
     assert out.shape == (b, h, w, 2)
     assert np.isfinite(np.asarray(out)).all()
 
+@pytest.mark.slow
 def test_spatial_local_growing():
     """The row-sharded local growing (per-shard top-k, global pmin band,
     halo-merged candidate/working scatters) must track the unsharded

@@ -41,6 +41,7 @@ def _grow(monkeypatch, warm_band):
     return rg
 
 
+@pytest.mark.slow
 def test_warm_matches_cold_chunked(monkeypatch):
     cold = _grow(monkeypatch, 0)
     warm = _grow(monkeypatch, 8)
@@ -54,6 +55,7 @@ def test_warm_matches_cold_chunked(monkeypatch):
     assert _epe(warm, ref) <= 0.15, "warm drain rg vs reference binaries"
 
 
+@pytest.mark.slow
 def test_warm_plus_polish_within_golden_gate(monkeypatch):
     """A polish pass (FALDOI_GROW_POLISH) after warm drains restores part of
     the skipped re-solve: measured tiny-crop rg vs the reference binaries is
