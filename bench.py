@@ -161,11 +161,33 @@ def main():
                   f"global {time.time() - t_glob:.1f}s", file=sys.stderr)
         return out
 
+    # count XLA programs compiled during warmup (the per-program ~0.5 s
+    # RPC floor through the tunnel makes program COUNT a first-class
+    # warmup regression metric — VERDICT r3 item 3)
+    import logging
+
+    class _CompileCounter(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.n = 0
+
+        def emit(self, record):
+            msg = record.getMessage()
+            if "Compiling" in msg or "compil" in msg.lower():
+                self.n += 1
+
+    _cc = _CompileCounter()
+    jax.config.update("jax_log_compiles", True)
+    for _name in ("jax._src.dispatch", "jax._src.interpreters.pxla"):
+        logging.getLogger(_name).addHandler(_cc)
+
     # warmup (compiles)
     t0 = time.time()
     out = pipeline()
     warm = time.time() - t0
-    print(f"# warmup (incl. compile): {warm:.1f}s", file=sys.stderr)
+    jax.config.update("jax_log_compiles", False)
+    print(f"# warmup (incl. compile): {warm:.1f}s  "
+          f"({_cc.n} XLA programs compiled)", file=sys.stderr)
 
     times = []
     for _ in range(repeats):
@@ -219,6 +241,7 @@ def main():
         "stat": "min",
         "median": round(med, 3),
         "warmup_s": round(warm, 1),
+        "programs_compiled": _cc.n,
     }))
 
 

@@ -167,6 +167,16 @@ def _canvas_setup(p, oy, ox, ph, pw, dtype):
     return rows, cols, inbox, gx, gy
 
 
+def _warp_rows() -> int:
+    """Trace-time window-row count for the block-gather warp (the gather's
+    cost is proportional to rows fetched per lane — trace: 5.3 ms/sweep at
+    bsz=8192 with 32 rows).  Vertical coherence tolerance is rows - p - 3
+    (18 px at 32, 9 px at 24, 2 px at 16); samples beyond it clamp to the
+    window edge exactly like the WARP_WIN horizontal budget.  Enters the
+    sweep's jit key via local_step.ordering_dials."""
+    return int(os.environ.get("FALDOI_WARP_ROWS", "24") or 24)
+
+
 def _warp3(sc: SolverConsts, gx, gy, u1, u2, inbox):
     """Warp (i1, i1x, i1y) at the patch cells' displaced positions — one
     windowed MXU sample of the stacked planes (the canvas cells of a patch
@@ -179,7 +189,8 @@ def _warp3(sc: SolverConsts, gx, gy, u1, u2, inbox):
     if sc.i1_blk is not None:
         ny, nx = sc.i1.shape
         w = bicubic_window_sample_blocks(
-            sc.i1_blk, ny, nx, gx + su, gy + sv, False, WARP_BSTRIDE)
+            sc.i1_blk, ny, nx, gx + su, gy + sv, False, WARP_BSTRIDE,
+            nrows=_warp_rows())
     else:
         w = bicubic_window_sample(sc.i1_stack, gx + su, gy + sv, False,
                                   win=WARP_WIN)
@@ -193,7 +204,8 @@ def _warp1(sc: SolverConsts, gx, gy, u1, u2, inbox):
     if sc.i1_blk is not None:
         ny, nx = sc.i1.shape
         return bicubic_window_sample_blocks(
-            sc.i1_blk[:1], ny, nx, gx + su, gy + sv, False, WARP_BSTRIDE)[0]
+            sc.i1_blk[:1], ny, nx, gx + su, gy + sv, False, WARP_BSTRIDE,
+            nrows=_warp_rows())[0]
     return bicubic_window_sample(sc.i1_stack[:1], gx + su, gy + sv, False,
                                  win=WARP_WIN)[0]
 

@@ -107,6 +107,24 @@ def ordering_dials():
         int(os.environ.get("FALDOI_GROW_DEFER_WIN", "0") or 0),
         os.environ.get("FALDOI_WSCATTER", "approx"),
         os.environ.get("FALDOI_ABLATE", ""),
+        # r4 kernel dials (also trace-time program structure); defaults
+        # parity-measured at full scale (EXPERIMENTS_r04.jsonl `dials`):
+        # var EPE 0.0089 (vs 0.0088 reference-exact), rg 0.2582 (vs
+        # 0.2526), GT EPE identical, local+global 27.8 s vs ~34 s.
+        # Working-flow scatter radius (5 = full 11x11 patch, the reference
+        # semantics; smaller radii cut the dominant scatter's update count
+        # (2r+1)^2/121-fold at an init-staleness cost)
+        int(os.environ.get("FALDOI_WSCATTER_R", "3") or 3),
+        # candidate selection: exact lax.top_k sort vs the TPU-optimised
+        # approx_max_k (recall .95; the delta-band anchor then uses an
+        # exact global min so the band itself never drifts; missed in-band
+        # candidates stay queued — a batching-like delay only)
+        os.environ.get("FALDOI_TOPK", "approx"),
+        # MXU warp window rows (see functionals._warp3) — enters the key
+        # because the solver reads it at trace time.  24 keeps ~9 px of
+        # vertical intra-patch coherence budget (32 = 18 px, 16 = 2 px);
+        # match_growing._warn_overflow monitors the vertical budget too.
+        int(os.environ.get("FALDOI_WARP_ROWS", "24") or 24),
     )
 
 
@@ -276,7 +294,18 @@ def _sweep_body(
         eligible = jnp.where(state.fixed[:n], jnp.inf, state.cand_e[:n])
     if owned is not None:
         eligible = jnp.where(owned[:n], eligible, jnp.inf)
-    neg_e, idx = jax.lax.top_k(-eligible, bsz)
+    _topk_mode = dials[7] if len(dials) > 7 else "exact"
+    if _topk_mode == "approx":
+        # TPU-optimised partial reduce instead of the full sort (~0.5 ms
+        # of the ~3.7 ms sweep at bsz=1024).  aggregate_to_topk keeps the
+        # returned set exactly sorted, so the rank floor is unchanged; the
+        # ~5% of in-band candidates the partial reduce misses simply stay
+        # queued for a later sweep (the same kind of delay batching itself
+        # introduces).  The delta-band anchor below is made EXACT via a
+        # global min so the acceptance band never drifts.
+        neg_e, idx = jax.lax.approx_max_k(-eligible, bsz, recall_target=0.95)
+    else:
+        neg_e, idx = jax.lax.top_k(-eligible, bsz)
     valid = jnp.isfinite(neg_e)
     e_pop = -neg_e
     # GLOBAL delta band: accept candidates within ``delta`` of the sweep's
@@ -287,7 +316,7 @@ def _sweep_body(
     if floor is None:
         floor = bsz // 16
     rank = jnp.arange(bsz)
-    e_min = e_pop[0]
+    e_min = (jnp.min(eligible) if _topk_mode == "approx" else e_pop[0])
     if band_axis is not None:
         # anchor the band at the GLOBAL minimum eligible energy so the
         # sharded acceptance tracks the same serial order as unsharded
@@ -488,14 +517,19 @@ def _sweep_body(
     # (a vmapped dynamic_slice runs as a SERIAL per-patch loop on TPU — the
     # dominant sweep cost before this; see ops.blockgather).
     from faldoi_tpu.ops.blockgather import (
-        make_crop_blocks, crop_stack_blocks,
+        make_crop_blocks, crop_stack_blocks_fast, SENTINEL,
     )
     from faldoi_tpu.core.functionals import _blockgather_on
 
     _blk_on = _blockgather_on("sweep")
     if _blk_on:
+        # NaN -> SENTINEL before blocking: the crop then needs only ONE
+        # one-hot einsum (see blockgather.crop_stack_blocks_fast) and the
+        # decode restores NaN bit-for-bit.  Value-identical to the old
+        # NaN-transparent double-einsum path, ~4 ms/sweep cheaper at 8192.
         stack = jnp.pad(
-            jnp.stack(planes, axis=0), ((0, 0), (0, p), (0, 0)), mode="edge"
+            jnp.nan_to_num(jnp.stack(planes, axis=0), nan=SENTINEL),
+            ((0, 0), (0, p), (0, 0)), mode="edge"
         )
         stack_blk = jnp.moveaxis(make_crop_blocks(stack), 0, -1)
         nch = stack.shape[0]
@@ -510,7 +544,8 @@ def _sweep_body(
     def build_init(oy_k, ox_k, ph_k, pw_k):
         inbox = (rows < ph_k) & (cols < pw_k)
         if _blk_on:
-            pl = crop_stack_blocks(stack_blk, oy_k, ox_k, p)
+            pl = crop_stack_blocks_fast(stack_blk, oy_k, ox_k, p)
+            pl = jnp.where(pl > SENTINEL / 2, jnp.nan, pl)
         else:
             pl = jax.lax.dynamic_slice(stack, (oy_k, ox_k, 0), (p, p, nch))
         fxp = (pl[..., 0] > 0.5) & inbox
@@ -659,14 +694,32 @@ def _sweep_body(
     ene = ene.at[upd].set(jnp.where(better, ener, jnp.inf))
 
     # --- persistent working-flow scatter (max-energy wins == later-pop wins)
-    gy = oy[None, None, :] + rows[..., None]
-    gx = ox[None, None, :] + cols[..., None]
-    inbox = (rows[..., None] < ph[None, None, :]) & (
-        cols[..., None] < pw[None, None, :]
+    # FALDOI_WSCATTER_R < wr writes only the central (2r+1)^2 cells of each
+    # solved patch instead of the full patch: the scatter's per-update cost
+    # is the single largest sweep phase (trace: 1.2 ms at bsz=1024 / 9.6 ms
+    # at 8192 for the two payload sets), and the working flow is an init
+    # heuristic — cells beyond the write radius keep an older (previous
+    # sweep's) init.  5 = reference semantics (guided_* writes u1/u2 over
+    # the whole patch).  Edge-clamped patches write a centre-shifted window
+    # (still inside the patch box) — init-staleness only, parity-measured.
+    _wr_r = dials[6] if len(dials) > 6 else wr
+    if _wr_r < wr:
+        lo, hi = wr - _wr_r, wr + _wr_r + 1
+        w_rows = rows[lo:hi, :]        # rows is (p, 1), cols is (1, p)
+        w_cols = cols[:, lo:hi]
+        w_su, w_sv = su[lo:hi, lo:hi], sv[lo:hi, lo:hi]
+        w_schi = schi[lo:hi, lo:hi] if with_chi else None
+    else:
+        w_rows, w_cols, w_su, w_sv = rows, cols, su, sv
+        w_schi = schi if with_chi else None
+    gy = oy[None, None, :] + w_rows[..., None]
+    gx = ox[None, None, :] + w_cols[..., None]
+    inbox = (w_rows[..., None] < ph[None, None, :]) & (
+        w_cols[..., None] < pw[None, None, :]
     )
     cell_ok = inbox & valid[None, None, :]
     flat_q = jnp.where(cell_ok, gy * w + gx, dump).reshape(-1)
-    key = jnp.broadcast_to(ener[None, None, :], su.shape).reshape(-1)
+    key = jnp.broadcast_to(ener[None, None, :], w_su.shape).reshape(-1)
     key_buf = jnp.full((n + 1,), -jnp.inf, jnp.float32)
     if "nowscatter" in _ablate:
         wkey, wu, wv, wchi = key_buf, state.wu, state.wv, state.wchi
@@ -674,8 +727,8 @@ def _sweep_body(
         wkey, wu, wv, wchi = _scatter_max_payload(
             key_buf, state.wu, state.wv,
             state.wchi if with_chi else None, flat_q, key,
-            su.reshape(-1), sv.reshape(-1),
-            schi.reshape(-1) if with_chi else None,
+            w_su.reshape(-1), w_sv.reshape(-1),
+            w_schi.reshape(-1) if with_chi else None,
             cell_ok.reshape(-1), dump,
             # cross-shard merges consume the key plane -> exact required
             exact=True if with_wkey else (dials[4] == "exact"),
@@ -1175,8 +1228,23 @@ class LocalSolver:
             rungs = (512, 1024, 2048, 4096, 8192)
         ladder = tuple(b for b in rungs if b < self.bsz)
         ladder = ladder + (self.bsz,)
-        cur = ladder[min(1, len(ladder) - 1)]
-        if _os3.environ.get("FALDOI_GROW_PREWARM", "1") == "1":
+        # READY-RUNG SCHEDULING (r4 warmup work): in a cold process every
+        # rung is a fresh server-side compile (4 s .. minutes each through
+        # the tunnel), and an upshift to an uncompiled rung BLOCKS the
+        # drain on that compile.  With the prewarm thread on, upshifts are
+        # gated on the target rung's program being compiled already — the
+        # drain keeps sweeping at the current (compiled) rung while the
+        # prewarm thread brings bigger rungs up concurrently.  The cost is
+        # extra sweeps at too-small rungs during the first drain only
+        # (rung-invariant accept rule: smaller rungs truncate top-k
+        # harder, parity-safe); the win is that cold warmup pays for ONE
+        # blocking rung compile instead of the whole ladder.
+        _gate_ready = _os3.environ.get("FALDOI_GROW_PREWARM", "1") == "1"
+        cold = self._sig_key(ladder[min(1, len(ladder) - 1)],
+                             fi) not in LocalSolver._prewarmed
+        cur = ladder[0] if (_gate_ready and cold) else ladder[
+            min(1, len(ladder) - 1)]
+        if _gate_ready:
             # compile the rung programs this drain will reach on a daemon
             # thread: the tunneled server compiles/loads serially with
             # erratic latency (4 s .. minutes per big program), but it
@@ -1237,11 +1305,17 @@ class LocalSolver:
             if mx is None:
                 continue
             if mx >= cur and cur < ladder[-1]:
-                cur = ladder[min(ladder.index(cur) + 1, len(ladder) - 1)]
+                nxt = ladder[min(ladder.index(cur) + 1, len(ladder) - 1)]
+                if (not _gate_ready
+                        or self._sig_key(nxt, fi) in LocalSolver._prewarmed):
+                    cur = nxt
             elif mx < cur // 3 and cur > ladder[0]:
                 # smallest ladder step with headroom over the recent peak
-                cur = next((b for b in ladder if b >= mx + mx // 2),
+                nxt = next((b for b in ladder if b >= mx + mx // 2),
                            ladder[-1])
+                if (not _gate_ready or nxt < cur
+                        or self._sig_key(nxt, fi) in LocalSolver._prewarmed):
+                    cur = nxt
         return st2
 
     def _prewarm(self, st2, sc2, trust2, sal2, it, ladder, cur, fi, floor,

@@ -136,7 +136,8 @@ def _prune_requeue_pair(st2, i0n, i1n, epsilon, *, n, h, w, warm_band):
     return st2, trust2, tg, tb
 
 
-def warp_window_overflow(flow: np.ndarray, wr: int, win: int) -> int:
+def warp_window_overflow(flow: np.ndarray, wr: int, win: int,
+                         vwin: int = None) -> int:
     """Count pixels whose 11x11-patch warp could overflow the shared MXU
     sampling window (ops.bicubic.bicubic_window_sample clamps such samples
     to the window edge with no error signal — advisor finding r2).
@@ -144,34 +145,39 @@ def warp_window_overflow(flow: np.ndarray, wr: int, win: int) -> int:
     A patch centred at c samples I1 at (cell + flow(cell)) for cells within
     radius ``wr``; the shared window covers ``win`` px and the stencil needs
     4, so the sample spread must satisfy  (2*wr) + local_flow_spread <=
-    win - 4.  We measure the flow spread with separable max/min filters over
-    the (2*wr+1) neighbourhood — a conservative, cheap proxy run host-side.
+    win - 4.  ``vwin`` checks the VERTICAL budget separately (the r4
+    block-gather warp fetches FALDOI_WARP_ROWS rows — a tighter budget than
+    the horizontal block width; v-channel spread governs it).  We measure
+    the flow spread with separable max/min filters over the (2*wr+1)
+    neighbourhood — a conservative, cheap proxy run host-side.
     """
     import scipy.ndimage as ndi
 
     size = 2 * wr + 1
     n_over = 0
-    for ch in range(2):
+    for ch, budget in ((0, win), (1, vwin if vwin is not None else win)):
         f = np.nan_to_num(flow[..., ch], nan=0.0)
         spread = (ndi.maximum_filter(f, size=size)
                   - ndi.minimum_filter(f, size=size))
-        n_over = max(n_over, int((2 * wr + spread > win - 4).sum()))
+        n_over = max(n_over, int((2 * wr + spread > budget - 4).sum()))
     return n_over
 
 
 def _warn_overflow(flow, wr, label):
-    from faldoi_tpu.core.functionals import WARP_WIN
+    from faldoi_tpu.core.functionals import WARP_WIN, _warp_rows
 
-    n = warp_window_overflow(flow, wr, WARP_WIN)
+    rows = _warp_rows()
+    n = warp_window_overflow(flow, wr, WARP_WIN, vwin=rows)
     if n:
         import sys
 
         print(
             f"(match_growing) WARNING: {n} px at {label} have intra-patch "
             f"flow spread exceeding the MXU warp window (WARP_WIN="
-            f"{WARP_WIN}); their bicubic samples were edge-clamped. "
-            f"Re-run with FALDOI_WARP_WIN={2 * WARP_WIN} if parity matters "
-            "on this data.",
+            f"{WARP_WIN}, FALDOI_WARP_ROWS={rows}); their bicubic samples "
+            f"were edge-clamped. Re-run with FALDOI_WARP_WIN={2 * WARP_WIN} "
+            f"FALDOI_WARP_ROWS={min(2 * rows, 64)} if parity matters on "
+            "this data.",
             file=sys.stderr,
         )
     return n
@@ -506,6 +512,21 @@ def match_growing(
     # full-scale (EXPERIMENTS_r03.jsonl): 94.3 -> 63.0 s local+global at
     # var EPE 0.0276 -> 0.0293 (gate 0.05), rg 0.456 -> 0.517.
     warm_band = int(os.environ.get("FALDOI_GROW_WARM_BAND", "10"))
+    # REQUEUE ARBITRATION (r4, rg-tail mechanism (b), PARITY.md deviation
+    # #1): in the serial heap the re-queued survivors and the invading
+    # fronts' candidates share ONE global energy order — a survivor with
+    # stored energy e only pops after every front whose candidates are
+    # below e has swept through, so lower-energy invaders OVERRIDE
+    # post-prune survivors (local_faldoi.cpp:813-870 + 891-1039).  The
+    # batched drains' rank floor accepts survivors en masse long before an
+    # invading front can physically arrive.  FALDOI_GROW_RELAX_LATE=1 runs
+    # the requeue iterations (>= 1 and the final drain) in label-correcting
+    # relax mode: survivors still fix early, but a strictly-lower-energy
+    # claim arriving later RE-POPS the pixel — converging to the same
+    # "lowest energy claim wins" arbitration as the serial queue without
+    # its global ordering.  Iteration 0 keeps strict mode (relax there was
+    # measured to degrade the seed-growth phase).
+    relax_late = os.environ.get("FALDOI_GROW_RELAX_LATE", "0") == "1"
 
     def _requeue(st, tr):
         if warm_band:
@@ -596,6 +617,7 @@ def match_growing(
             if snapshot_cb is not None:
                 marks["it"] = it
             ls.floor_scale = floor_scale if it == 0 else fs_late
+            ls.relax = relax or (relax_late and it >= 1)
             st2 = ls.grow_pair(st2, sc2, trust2, sal2, it,
                                snapshot_cb=snapshot_cb)
             if polish_k and it >= 1:
@@ -626,6 +648,7 @@ def match_growing(
         if snapshot_cb is not None:
             marks["it"] = prm.iterations_of
         ls.floor_scale = fs_late
+        ls.relax = relax or relax_late
         st2 = ls.grow_pair(st2, sc2, trust2, sal2, prm.iterations_of,
                            snapshot_cb=snapshot_cb)
         if polish_k:

@@ -137,6 +137,32 @@ def crop_stack_blocks(blocks: jnp.ndarray, oy, ox, p: int) -> jnp.ndarray:
     return jnp.where(hit > 0.5, jnp.nan, vals)
 
 
+# NaN sentinel for the fast (single-einsum) crop path: callers encode NaN
+# as SENTINEL before blocking and decode (> SENTINEL/2 -> NaN) after the
+# crop.  Exact: f32(1e30) rides the HIGHEST-precision one-hot contraction
+# bit-exactly, and 0 * SENTINEL = 0 (unlike 0 * NaN), so no second "hit"
+# einsum or compare/select pass over the (p, 128, C) gather is needed —
+# the double-einsum NaN-transparent path cost ~4 ms/sweep at bsz=8192
+# (trace: copy_select_fusion + compare fusions, scripts/tpu_trace_ops.py).
+SENTINEL = jnp.float32(1e30)
+
+
+def crop_stack_blocks_fast(blocks: jnp.ndarray, oy, ox, p: int) -> jnp.ndarray:
+    """``crop_stack_blocks`` without NaN transparency — single einsum.
+    Caller contract: NaNs in the source planes were replaced by SENTINEL
+    before ``make_crop_blocks``; decode after the crop with
+    ``jnp.where(out > SENTINEL / 2, jnp.nan, out)``."""
+    bx = ox // CROP_STRIDE
+    rows = oy + jnp.arange(p)
+    g = blocks[rows, bx]                            # (p, 128, C)
+    off = ox - bx * CROP_STRIDE
+    onehot = (
+        (off + jnp.arange(p))[:, None] == jnp.arange(CROP_WIDTH)[None, :]
+    ).astype(g.dtype)
+    return jnp.einsum("rlc,jl->rjc", g, onehot,
+                      precision=lax.Precision.HIGHEST)
+
+
 def crop_chans_blocks(blocks: jnp.ndarray, oy, ox, p: int) -> jnp.ndarray:
     """(C, p, p) crop from channels-first crop blocks (C, H, NB, 128)."""
     bx = ox // CROP_STRIDE

@@ -184,7 +184,7 @@ def spatial_tvl2_global(mesh: Mesh, i0, i1, u1, u2, iters=40, warps=1,
     d = int(max_disp) + 2
     assert d <= hs, "halo band exceeds the shard height"
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def shard_fn(i0s, i1s, u1s, u2s):
         # centered gradient of the sharded frame: 1-row halos; the edge

@@ -28,8 +28,18 @@ full image arrays across threads.  Compute and state bandwidth — the
 actual scaling costs — are fully sharded; collectives are halo-sized and
 ride ICI.
 
-Validated against the unsharded growing on the 8-virtual-device CPU mesh
-(tests/test_parallel.py::test_spatial_local_growing).
+Production semantics (r4 — previously a correctness twin): chunked
+dispatches with the adaptive per-shard rung ladder (max_acc protocol as
+``LocalSolver.grow_pair``; accept rule rung-invariant via the pinned rank
+floor), warm-band requeues between outer iterations
+(FALDOI_GROW_WARM_BAND, default 10 as unsharded), the late-phase floor
+scale, and the ordering dials (exactmin / defer / wscatter / the r4
+kernel dials) threaded through — note exactmin windows and the defer
+reduction remain SHARD-LOCAL approximations at shard boundaries
+(local_step.py docstrings); equality vs unsharded is gated in
+tests/test_parallel.py at space=2 and space=4 (production dials).
+Drain programs are jit-cached per (rung, first_iter, floor-scale), not
+re-traced per outer iteration.
 """
 
 from __future__ import annotations
@@ -95,12 +105,15 @@ def drain_spatial(
     max_sweeps: int = 10_000,
     delta: float = 0.05, fill: str = "patch_rb", floor=None,
     relax: bool = False, relax_margin: float = 0.95, delta_rel: float = 0.5,
-    floor_scale: int = 64, with_chi: bool = True,
+    floor_scale: int = 64, with_chi: bool = True, first_iter: bool = False,
+    dials=None,
 ):
     """Drain all L direction lanes' queues, rows sharded over ``axis_name``.
 
-    Runs INSIDE shard_map.  Returns the updated owned planes dict and the
-    sweep count."""
+    Runs INSIDE shard_map.  Returns (planes, sweeps, max_acc) — ``max_acc``
+    is the largest single-sweep GLOBAL acceptance within this dispatch, the
+    caller's adaptive-rung signal (same protocol as LocalSolver.grow_pair;
+    ``max_sweeps`` doubles as the chunk bound)."""
     assert halo >= wr + 1, "halo must cover patch reach"
     he = hs + 2 * halo
     ne = he * w
@@ -151,6 +164,7 @@ def drain_spatial(
                 floor_scale=floor_scale,
                 owned=owned_mask, ybounds=(ymin, ymax), row_offset=roff,
                 band_axis=axis_name, with_wkey=True, with_chi=with_chi,
+                first_iter=first_iter, dials=dials,
             )
 
         st2, acc, wkey = jax.vmap(one_lane, in_axes=(0, 0, 0, 0))(
@@ -209,17 +223,18 @@ def drain_spatial(
         return new_planes, acc_tot
 
     def cond(carry):
-        _, acc, k = carry
+        _, acc, _mx, k = carry
         return jnp.logical_and(acc > 0, k < max_sweeps)
 
     def body(carry):
-        planes, _, k = carry
+        planes, _, mx, k = carry
         planes, acc = sweep_once(planes)
-        return planes, acc, k + 1
+        return planes, acc, jnp.maximum(mx, acc), k + 1
 
-    carry = (owned, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
-    owned, _, k = jax.lax.while_loop(cond, body, carry)
-    return owned, k
+    carry = (owned, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32))
+    owned, _, mx, k = jax.lax.while_loop(cond, body, carry)
+    return owned, k, mx
 
 
 def spatial_match_growing(
@@ -240,17 +255,19 @@ def spatial_match_growing(
     stencil passes per outer iteration — negligible next to the sweeps).
     Returns (flow, energy, occ) for the forward direction like
     match_growing."""
-    from faldoi_tpu.core.local_step import LocalSolver, init_state
+    from faldoi_tpu.core.local_step import (
+        LocalSolver, init_state, ordering_dials,
+    )
     from faldoi_tpu.core.functionals import SOLVERS, make_solver_consts
     from faldoi_tpu.core.match_growing import (
-        _delete_untrusted, _insert_potential,
+        _delete_untrusted, _insert_potential, _warm_requeue,
     )
     from faldoi_tpu.core.patch_solver import pad_for_crops
     from faldoi_tpu.core.pruning import prune
     from faldoi_tpu.models import method_local_params
     from faldoi_tpu.ops.stencils import centered_gradient
     from faldoi_tpu import params as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     if fill == "patch" and prm.val_method not in (
         P.M_TVCSAD, P.M_TVCSAD_W, P.M_NLTVCSAD, P.M_NLTVCSAD_W
@@ -304,35 +321,84 @@ def spatial_match_growing(
         return GrowState(**flat)
 
     plane_spec = {k: PS(None, "space", None) for k in names}
+    dials = ordering_dials()
+    import os as _os
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(plane_spec, jax.tree.map(lambda _: PS(), sc2),
-                  PS(None, "space", None), PS(None, "space", None), PS()),
-        out_specs=(plane_spec, PS()),
-        check_rep=False,
-    )
-    def drain(planes, sc2_, trust2d, sal2d, it):
-        return drain_spatial(
-            planes, sc2_, trust2d, sal2d, it,
-            solver, hs, h, w, prm.w_radio, bsz_shard,
-            prm.warps, max(prm.max_iter_patch, 1),
-            halo, "space",
-            delta=delta, fill=fill, relax=relax,
-            delta_rel=delta_rel, floor_scale=floor_scale, with_chi=with_chi,
-        )
+    # PRODUCTION DRAIN SEMANTICS (mirrors LocalSolver.grow_pair):
+    # * chunked dispatches — each jitted shard_map program runs up to
+    #   ``chunk`` sweeps on-device and reports (sweeps, max_acc);
+    # * adaptive rung ladder over the PER-SHARD batch (the accept rule is
+    #   rung-invariant: the rank floor is pinned to the nominal
+    #   bsz_shard//16, so smaller rungs only truncate top-k harder);
+    # * programs are traced ONCE per (rung, first_iter) and cached by jit
+    #   across chunks, outer iterations AND spatial_match_growing calls
+    #   (the r3 twin re-traced the shard_map closure every outer iteration).
+    chunk = int(_os.environ.get("FALDOI_GROW_CHUNK", "16"))
+    floor_pin = bsz_shard if relax else max(1, bsz_shard // 16)
+    fs_late = int(_os.environ.get("FALDOI_GROW_FS_LATE", "0")) or min(
+        floor_scale, 16)
+    warm_band = int(_os.environ.get("FALDOI_GROW_WARM_BAND", "10"))
+    max_it = max(prm.max_iter_patch, 1)
+
+    _drain_cache = {}
+
+    def drain_chunk(planes, sc2_, trust2d, sal2d, it, *, rung, fi, fs):
+        key = (rung, fi, fs)
+        if key not in _drain_cache:
+            sharded = shard_map(
+                lambda pl_, sc_, tr_, sl_, it_: drain_spatial(
+                    pl_, sc_, tr_, sl_, it_,
+                    solver, hs, h, w, prm.w_radio, rung,
+                    prm.warps, max_it, halo, "space",
+                    max_sweeps=chunk,
+                    delta=delta, fill=fill, floor=floor_pin, relax=relax,
+                    delta_rel=delta_rel, floor_scale=fs, with_chi=with_chi,
+                    first_iter=fi, dials=dials,
+                ),
+                mesh=mesh,
+                in_specs=(plane_spec, jax.tree.map(lambda _: PS(), sc2),
+                          PS(None, "space", None), PS(None, "space", None),
+                          PS()),
+                out_specs=(plane_spec, PS(), PS()),
+                check_rep=False,
+            )
+            _drain_cache[key] = jax.jit(sharded)
+        return _drain_cache[key](planes, sc2_, trust2d, sal2d, it)
+
+    ladder = tuple(b for b in (256, 512, 1024, 2048, 4096) if b < bsz_shard)
+    ladder = ladder + (bsz_shard,)
+
+    def drain(st2_, trust2d_, sal2d_, it, fs):
+        """Host loop: chunked dispatches with sync rung adaptation."""
+        planes = to_planes(st2_)
+        cur = ladder[min(1, len(ladder) - 1)]
+        fi = isinstance(it, int) and it == 0
+        it_j = jnp.asarray(it, jnp.int32)
+        total = 0
+        for _ in range(10_000):
+            planes, k, mx = drain_chunk(planes, sc2, trust2d_, sal2d_, it_j,
+                                        rung=cur, fi=fi, fs=fs)
+            total += int(k)
+            if int(k) < chunk:
+                break
+            m = int(mx)
+            if m >= cur and cur < ladder[-1]:
+                cur = ladder[min(ladder.index(cur) + 1, len(ladder) - 1)]
+            elif m < cur // 3 and cur > ladder[0]:
+                cur = next((b for b in ladder if b >= m + m // 2),
+                           ladder[-1])
+        return from_planes(planes), total
 
     sal2d = jnp.ones((2, h, w), jnp.float32)
     trust2d = jnp.ones((2, h, w), jnp.int32)
     import time
     for it in range(prm.iterations_of):
         t0 = time.time()
-        planes, k = drain(to_planes(st2), sc2, trust2d, sal2d,
-                          jnp.asarray(it, jnp.int32))
-        st2 = from_planes(planes)
+        st2, k = drain(st2, trust2d, sal2d, it,
+                       floor_scale if it == 0 else fs_late)
         if verbose:
             jax.block_until_ready(st2)
-            print(f"(spatial_growing) it={it}: {int(k)} sweeps "
+            print(f"(spatial_growing) it={it}: {k} sweeps "
                   f"{time.time() - t0:.2f}s")
         fwd = jnp.stack([st2.out_u[0, :n].reshape(h, w),
                          st2.out_v[0, :n].reshape(h, w)], axis=-1)
@@ -342,11 +408,14 @@ def spatial_match_growing(
         trust2d = jnp.stack([tg, tb])
         trust2 = jnp.concatenate(
             [trust2d.reshape(2, n), jnp.ones((2, 1), jnp.int32)], axis=1)
-        st2 = _insert_potential(_delete_untrusted(st2, trust2, n), n)
+        if warm_band:
+            # warm drains (production default, as match_growing): re-queue
+            # only a band around pruned holes, keep the far field fixed
+            st2 = _warm_requeue(st2, trust2, n, h, w, warm_band)
+        else:
+            st2 = _insert_potential(_delete_untrusted(st2, trust2, n), n)
 
-    planes, k = drain(to_planes(st2), sc2, trust2d, sal2d,
-                      jnp.asarray(prm.iterations_of, jnp.int32))
-    st2 = from_planes(planes)
+    st2, k = drain(st2, trust2d, sal2d, prm.iterations_of, fs_late)
     flow = np.stack([np.asarray(st2.out_u[0, :n]).reshape(h, w),
                      np.asarray(st2.out_v[0, :n]).reshape(h, w)], axis=-1)
     ene = np.asarray(st2.ene[0, :n]).reshape(h, w)

@@ -73,7 +73,8 @@ def test_growing_fills_every_pixel(pipeline_out):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("method", [4, 5, 6, 7])
-def test_csad_family_e2e_vs_reference_binaries(method, tmp_path):
+def test_csad_family_e2e_vs_reference_binaries(method, tmp_path,
+                                               monkeypatch):
     """CSAD-family (m4-m7) end-to-end local+global vs COMMITTED reference
     binary outputs (tests/golden/tiny/m{4..7}_{rg,var}.flo, captured by
     scripts/run_parity.py from the rebuilt binaries — tvcsad_model.cpp:265,
@@ -87,6 +88,12 @@ def test_csad_family_e2e_vs_reference_binaries(method, tmp_path):
     from faldoi_tpu.io import write_flo
     from faldoi_tpu.cli import local_faldoi as lcli
     from faldoi_tpu.cli import global_faldoi as gcli
+
+    # chunked dispatch: the CSAD methods' exact raster-GS fill makes the
+    # single-program fused growing a multi-hour compile on this 1-core
+    # host; the chunked programs are half the size and compile-cached
+    monkeypatch.setenv("FALDOI_GROW_MODE", "chunked")
+    monkeypatch.setenv("FALDOI_GROW_PREWARM", "0")
 
     names = []
     for k, f in enumerate(["frame_0002.png", "frame_0003.png"]):

@@ -112,3 +112,76 @@ def test_spatial_local_growing():
     # the acceptance order differs only through per-shard floors and
     # one-sweep-late cross-boundary donations
     assert epe < 0.05, epe
+
+
+def _tiny_fixture():
+    from faldoi_tpu.io import read_flo
+    from faldoi_tpu.io.image import read_image_split
+    from faldoi_tpu.core.preprocess import prepare_pair
+    from faldoi_tpu import params as P
+
+    BASE = "/root/reference/example_data/clean/easy/"
+    SL = np.s_[150:198, 300:364]
+    i0 = read_image_split(BASE + "frame_0002.png")[:, SL[0], SL[1]]
+    i1 = read_image_split(BASE + "frame_0003.png")[:, SL[0], SL[1]]
+    go = read_flo("tests/golden/deep_mt_1.flo")[SL[0], SL[1]]
+    ba = read_flo("tests/golden/deep_mt_2.flo")[SL[0], SL[1]]
+    a, b = prepare_pair(i0, i1)
+    prm = P.Parameters()
+    prm.val_method = P.M_TVL1
+    prm.iterations_of = 1
+    prm.epsilon = P.FB_TOL
+    return go, ba, a, b, prm
+
+
+@pytest.mark.slow
+def test_spatial_local_growing_space4_production():
+    """space=4 (12-row shards, every shard has TWO interior boundaries)
+    with the SHIPPING config — warm drains, adaptive rung ladder, late
+    floor scale all active on the sharded path (r4: the twin became the
+    production path)."""
+    from faldoi_tpu.parallel import make_mesh
+    from faldoi_tpu.parallel.spatial_grow import spatial_match_growing
+    from faldoi_tpu.core.match_growing import match_growing
+
+    go, ba, a, b, prm = _tiny_fixture()
+    kw = dict(bsz=256, delta=0.05, delta_rel=0.5, floor_scale=64)
+    ref, _, _ = match_growing(go, ba, a, b, prm, mode="chunked",
+                              fill="patch", relax=False, **kw)
+    mesh = make_mesh(1, 4)
+    got, _, _ = spatial_match_growing(mesh, go, ba, a, b, prm,
+                                      halo=8, **kw)
+    fin = np.isfinite(ref[..., 0]) & np.isfinite(got[..., 0])
+    assert fin.mean() > 0.95
+    epe = np.hypot(got[..., 0] - ref[..., 0],
+                   got[..., 1] - ref[..., 1])[fin].mean()
+    assert epe < 0.06, epe
+
+
+@pytest.mark.slow
+def test_spatial_local_growing_ordering_dials(monkeypatch):
+    """exactmin + defer dials on the SHARDED path: their window reductions
+    are shard-local approximations (local_step.py) — this pins that they
+    (a) run at all under shard_map and (b) stay near the unsharded result
+    with the same dials at a boundary-heavy space=4."""
+    from faldoi_tpu.parallel import make_mesh
+    from faldoi_tpu.parallel.spatial_grow import spatial_match_growing
+    from faldoi_tpu.core.match_growing import match_growing
+
+    monkeypatch.setenv("FALDOI_GROW_EXACTMIN", "11")
+    monkeypatch.setenv("FALDOI_GROW_EXACTMIN_BAND", "2")
+    monkeypatch.setenv("FALDOI_GROW_DEFER", "0.5")
+    go, ba, a, b, prm = _tiny_fixture()
+    kw = dict(bsz=256, delta=0.05, delta_rel=0.5, floor_scale=64)
+    ref, _, _ = match_growing(go, ba, a, b, prm, mode="chunked",
+                              fill="patch", relax=False, **kw)
+    mesh = make_mesh(1, 4)
+    got, _, _ = spatial_match_growing(mesh, go, ba, a, b, prm,
+                                      halo=8, **kw)
+    fin = np.isfinite(ref[..., 0]) & np.isfinite(got[..., 0])
+    assert fin.mean() > 0.95
+    epe = np.hypot(got[..., 0] - ref[..., 0],
+                   got[..., 1] - ref[..., 1])[fin].mean()
+    # shard-local exactmin/defer windows: divergence allowed at shard
+    # boundaries, bounded well under the parity gate's scale
+    assert epe < 0.10, epe
