@@ -360,7 +360,7 @@ def spatial_match_growing(
                           PS(None, "space", None), PS(None, "space", None),
                           PS()),
                 out_specs=(plane_spec, PS(), PS()),
-                check_rep=False,
+                check_vma=False,
             )
             _drain_cache[key] = jax.jit(sharded)
         return _drain_cache[key](planes, sc2_, trust2d, sal2d, it)

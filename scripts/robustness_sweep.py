@@ -89,13 +89,17 @@ def main():
                 rec = {"dataset": ds, "matcher": matcher,
                        "epsilon": float(eps), "vm": args.vm,
                        "wall_s": round(wall, 1)}
-                if r.returncode != 0:
-                    rec["error"] = (r.stderr or r.stdout)[-400:]
-                else:
-                    var = [f for f in os.listdir(res)
-                           if f.endswith("_var.flo")]
+                var = [f for f in os.listdir(res) if f.endswith("_var.flo")]
+                if var:
+                    # the axon tunnel's teardown sometimes aborts the
+                    # process AFTER the outputs are written (exit != 0);
+                    # score the artifacts when they exist
                     est = read_flo(os.path.join(res, var[0]))
                     rec.update(epe_stats(est, gt, occ, invalid))
+                    if r.returncode != 0:
+                        rec["exit_note"] = "nonzero exit (teardown crash?)"
+                else:
+                    rec["error"] = (r.stderr or r.stdout)[-400:]
                 print(json.dumps(rec), flush=True)
                 with open(args.out, "a") as f:
                     f.write(json.dumps(rec) + "\n")
