@@ -491,11 +491,13 @@ def _sweep_body(
     # vmapped dynamic_slice per patch: separate per-plane crops cost ~5.5x
     # more on TPU (the minor-dim-contiguous (p, p, C) slice vectorises).
     # The chi planes ride along only for the occlusion method (with_chi).
+    # No separate fixed channel (r4): out_u is finite IFF the pixel is
+    # fixed (fix writes finite pops, donations only hit accepted pixels,
+    # requeues reset unfixed out_u to NaN), so fxp = isfinite(ou) & inbox.
     # ``lean``: iteration-0 specialisation — use_fill is always true, so the
-    # working-flow/trust channels are never read; crop only 3 channels.
+    # working-flow/trust channels are never read; crop only 2 channels.
     lean = first_iter and fill != "dense" and not with_chi
     planes = [
-        fixed[:n].reshape(h, w).astype(jnp.float32),
         out_u[:n].reshape(h, w),
         out_v[:n].reshape(h, w),
     ]
@@ -538,8 +540,8 @@ def _sweep_body(
             jnp.stack(planes, axis=-1), ((0, p), (0, p), (0, 0)), mode="edge"
         )
         nch = stack.shape[-1]
-    chi_ch = 6 if with_chi else None
-    fill_ch = 8 if with_chi else 6
+    chi_ch = 5 if with_chi else None
+    fill_ch = 7 if with_chi else 5
 
     def build_init(oy_k, ox_k, ph_k, pw_k):
         inbox = (rows < ph_k) & (cols < pw_k)
@@ -548,14 +550,14 @@ def _sweep_body(
             pl = jnp.where(pl > SENTINEL / 2, jnp.nan, pl)
         else:
             pl = jax.lax.dynamic_slice(stack, (oy_k, ox_k, 0), (p, p, nch))
-        fxp = (pl[..., 0] > 0.5) & inbox
-        ou, ov = pl[..., 1], pl[..., 2]
+        ou, ov = pl[..., 0], pl[..., 1]
+        fxp = jnp.isfinite(ou) & inbox
         if lean:
             wu_p = wv_p = jnp.full_like(ou, jnp.nan)
             tr = jnp.ones_like(ou)
         else:
-            wu_p, wv_p = pl[..., 3], pl[..., 4]
-            tr = pl[..., 5]
+            wu_p, wv_p = pl[..., 2], pl[..., 3]
+            tr = pl[..., 4]
         if fill == "dense":
             fill_u, fill_v = pl[..., fill_ch], pl[..., fill_ch + 1]
         else:
