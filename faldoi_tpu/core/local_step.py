@@ -911,8 +911,8 @@ def grow_chunk_pair(
         lambda t: t[:n].reshape(h, w).astype(jnp.float32)
     )(trust2)
 
-    sweep_pair = jax.vmap(
-        lambda s, sc, tr, sal, it: _sweep_body(
+    def sweep_one(s, sc, tr, sal, it):
+        return _sweep_body(
             s, solver, sc, tr, sal, it,
             h, w, wr, bsz, warps, max_iters,
             delta=delta, fill=fill, floor=floor, relax=relax,
@@ -920,9 +920,24 @@ def grow_chunk_pair(
             floor_scale=floor_scale, block=block, with_chi=with_chi,
             floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
             first_iter=first_iter, dials=dials,
-        ),
-        in_axes=(0, 0, 0, 0, None),
-    )
+        )
+
+    def sweep_pair(s2, sc2_, tr2, sal2_, it):
+        # UNROLLED lanes, not vmap: the lane-vmapped sweep measures ~4x a
+        # single-lane sweep (13.7 vs 3.4 ms at bsz=1024 —
+        # EXPERIMENTS_r04.jsonl `pair_vmap`), i.e. the batched lowering
+        # de-optimises the gather/einsum paths; two sequential single-lane
+        # sweeps in the same program cost 2x and keep the one-dispatch
+        # benefit.  Values identical (lanes are independent).
+        outs, accs = [], []
+        for lane in range(2):
+            s_l = jax.tree.map(lambda a: a[lane], s2)
+            sc_l = jax.tree.map(lambda a: a[lane], sc2_)
+            s_l, acc = sweep_one(s_l, sc_l, tr2[lane], sal2_[lane], it)
+            outs.append(s_l)
+            accs.append(acc)
+        s2n = jax.tree.map(lambda a, b: jnp.stack([a, b]), outs[0], outs[1])
+        return s2n, jnp.stack(accs)
 
     def cond(carry):
         _, n_acc, _mx, k = carry

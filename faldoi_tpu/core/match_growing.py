@@ -236,17 +236,25 @@ def _iterated_growing(
     sc2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), sc_go, sc_ba)
     sal2 = jnp.stack([sal_g, sal_b])
 
-    sweep_pair = jax.vmap(
-        lambda s, sc, tr, sal, it, fs: _sweep_body(
-            s, solver, sc, tr, sal, it,
-            h, w, wr, bsz, warps, max_iters,
-            delta=delta, fill=fill, floor=floor, relax=relax,
-            relax_margin=relax_margin, delta_rel=delta_rel,
-            floor_scale=fs, block=block, with_chi=with_chi,
-            floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
-        ),
-        in_axes=(0, 0, 0, 0, None, None),
-    )
+    def sweep_pair(s2, sc2_, tr2, sal2_, it, fs):
+        # unrolled lanes, not vmap (lane-vmap measures ~4x a single lane;
+        # see local_step.grow_chunk_pair)
+        outs, accs = [], []
+        for lane in range(2):
+            s_l = jax.tree.map(lambda a: a[lane], s2)
+            sc_l = jax.tree.map(lambda a: a[lane], sc2_)
+            s_l, acc = _sweep_body(
+                s_l, solver, sc_l, tr2[lane], sal2_[lane], it,
+                h, w, wr, bsz, warps, max_iters,
+                delta=delta, fill=fill, floor=floor, relax=relax,
+                relax_margin=relax_margin, delta_rel=delta_rel,
+                floor_scale=fs, block=block, with_chi=with_chi,
+                floor_scale_hi=floor_scale_hi, queue_hi=queue_hi,
+            )
+            outs.append(s_l)
+            accs.append(acc)
+        s2n = jax.tree.map(lambda a, b: jnp.stack([a, b]), outs[0], outs[1])
+        return s2n, jnp.stack(accs)
 
     def drain_pair(st2, trust2, it, fs):
         trust2d = trust2[:, :n].reshape(2, h, w).astype(jnp.float32)

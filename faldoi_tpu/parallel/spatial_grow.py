@@ -167,9 +167,20 @@ def drain_spatial(
                 first_iter=first_iter, dials=dials,
             )
 
-        st2, acc, wkey = jax.vmap(one_lane, in_axes=(0, 0, 0, 0))(
-            st, sconsts, trust_ext.astype(jnp.float32), sal_flat
-        )
+        # unrolled lanes, not vmap (lane-vmap measures ~4x a single
+        # lane; see local_step.grow_chunk_pair)
+        tr_f = trust_ext.astype(jnp.float32)
+        sts, accs, wkeys = [], [], []
+        for lane in range(L):
+            s_l = jax.tree.map(lambda a: a[lane], st)
+            sc_l = jax.tree.map(lambda a: a[lane], sconsts)
+            s_l, acc_l, wk_l = one_lane(s_l, sc_l, tr_f[lane], sal_flat[lane])
+            sts.append(s_l)
+            accs.append(acc_l)
+            wkeys.append(wk_l)
+        st2 = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+        acc = jnp.stack(accs)
+        wkey = jnp.stack(wkeys)
         acc_tot = jax.lax.psum(acc.sum(), axis_name)
 
         ext2d = {k: getattr(st2, k)[:, :ne].reshape(L, he, w) for k in names}

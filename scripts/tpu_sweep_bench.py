@@ -68,3 +68,45 @@ for _ in range(3):
     best = min(best, time.time() - t0)
 print(f"bsz={bsz} fi={int(first_iter)} dials={dials} "
       f"{best/REPS*1000:.3f} ms/sweep")
+
+
+def run_pair(bsz_, fi):
+    """Measure the vmapped 2-lane pair sweep (the production grow_pair
+    shape) for comparison with 2x the single-lane cost."""
+    st2 = jax.tree.map(lambda a: jnp.stack([a, a]), state0)
+    sc2 = jax.tree.map(lambda a: jnp.stack([a, a]) if a is not None else None,
+                       sc)
+    tr2 = jnp.stack([trust2d, trust2d])
+    sal2 = jnp.stack([sal, sal])
+
+    @jax.jit
+    def run2(s2):
+        def one(s, sc_, tr, sl):
+            s2_, acc = _sweep_body(
+                s, solve_tvl1, sc_, tr, sl, jnp.asarray(0),
+                H, W, 5, bsz_, 1, 4, delta=0.01, delta_rel=0.5,
+                floor=512, floor_scale=64,
+                fill="patch" if fi else "patch_rb",
+                relax=False, with_chi=False, first_iter=fi, dials=dials,
+            )
+            return s2_._replace(cand_e=state0.cand_e, fixed=state0.fixed), acc
+
+        def body(s2_, _):
+            s2n, _a = jax.vmap(one, in_axes=(0, 0, 0, 0))(s2_, sc2, tr2, sal2)
+            return s2n, None
+
+        s2_, _ = jax.lax.scan(body, s2, None, length=REPS)
+        return s2_
+
+    r = run2(st2)
+    jax.block_until_ready(r)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(run2(st2))
+        best = min(best, time.time() - t0)
+    print(f"PAIR bsz={bsz_} fi={int(fi)} {best/REPS*1000:.3f} ms/sweep")
+
+
+if os.environ.get("FALDOI_SWEEP_BENCH_PAIR"):
+    run_pair(bsz, first_iter)
