@@ -882,7 +882,7 @@ def grow_chunk(
     static_argnames=(
         "solver", "h", "w", "wr", "bsz", "warps", "max_iters",
         "chunk", "fill", "relax", "block", "with_chi", "first_iter",
-        "dials",
+        "dials", "lanes",
     ),
 )
 def grow_chunk_pair(
@@ -895,7 +895,7 @@ def grow_chunk_pair(
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
-    first_iter: bool = False, dials: tuple = None,
+    first_iter: bool = False, dials: tuple = None, lanes: int = 2,
 ):
     """Bounded-chunk drain of BOTH growing directions in one program.
 
@@ -929,13 +929,18 @@ def grow_chunk_pair(
         # de-optimises the gather/einsum paths; two sequential single-lane
         # sweeps in the same program cost 2x and keep the one-dispatch
         # benefit.  Values identical (lanes are independent).
+        # ``lanes=1`` drains only the FWD lane (the final growing discards
+        # the bwd lane, local_faldoi.cpp:1636-1712 — half the cost).
         outs, accs = [], []
-        for lane in range(2):
+        for lane in range(lanes):
             s_l = jax.tree.map(lambda a: a[lane], s2)
             sc_l = jax.tree.map(lambda a: a[lane], sc2_)
             s_l, acc = sweep_one(s_l, sc_l, tr2[lane], sal2_[lane], it)
             outs.append(s_l)
             accs.append(acc)
+        if lanes == 1:
+            outs.append(jax.tree.map(lambda a: a[1], s2))
+            accs.append(jnp.asarray(0, accs[0].dtype))
         s2n = jax.tree.map(lambda a, b: jnp.stack([a, b]), outs[0], outs[1])
         return s2n, jnp.stack(accs)
 
@@ -1290,7 +1295,8 @@ class LocalSolver:
                 chunk=self.chunk, fill=self.fill, floor=floor,
                 relax=self.relax, relax_margin=self.relax_margin,
                 delta_rel=self.delta_rel, floor_scale=self.floor_scale,
-                block=self.block, first_iter=fi, dials=dials, **self.kw
+                block=self.block, first_iter=fi, dials=dials,
+                lanes=getattr(self, "lanes", 2), **self.kw
             )
             if _ctimer:
                 n_acc.block_until_ready()
@@ -1359,7 +1365,8 @@ class LocalSolver:
                 chunk=self.chunk, fill=self.fill, floor=floor,
                 relax=self.relax, relax_margin=self.relax_margin,
                 delta_rel=self.delta_rel, floor_scale=self.floor_scale,
-                block=self.block, first_iter=f_, dials=dials, **self.kw
+                block=self.block, first_iter=f_, dials=dials,
+                lanes=getattr(self, "lanes", 2), **self.kw
             )
 
         def _run():
@@ -1377,7 +1384,8 @@ class LocalSolver:
 
     def _sig_key(self, b, f_):
         return (self.h, self.w, self.wr, b, f_, self.fill, self.chunk,
-                self.relax, self.block, ordering_dials())
+                self.relax, self.block, getattr(self, "lanes", 2),
+                ordering_dials())
 
     _prewarmed: set = set()
 

@@ -657,8 +657,13 @@ def match_growing(
             marks["it"] = prm.iterations_of
         ls.floor_scale = fs_late
         ls.relax = relax or relax_late
+        # the final growing is forward-only (local_faldoi.cpp:1636-1712):
+        # drain just the fwd lane (half the sweep cost; the bwd lane's
+        # state is carried through untouched and discarded)
+        ls.lanes = 1
         st2 = ls.grow_pair(st2, sc2, trust2, sal2, prm.iterations_of,
                            snapshot_cb=snapshot_cb)
+        ls.lanes = 2
         if polish_k:
             st2 = _polish_pair(st2, sc2, sal2)
         st_go = jax.tree.map(lambda a: a[0], st2)
