@@ -236,11 +236,11 @@ def _iterated_growing(
     sc2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), sc_go, sc_ba)
     sal2 = jnp.stack([sal_g, sal_b])
 
-    def sweep_pair(s2, sc2_, tr2, sal2_, it, fs):
+    def sweep_pair(s2, sc2_, tr2, sal2_, it, fs, lanes=2):
         # unrolled lanes, not vmap (lane-vmap measures ~4x a single lane;
         # see local_step.grow_chunk_pair)
         outs, accs = [], []
-        for lane in range(2):
+        for lane in range(lanes):
             s_l = jax.tree.map(lambda a: a[lane], s2)
             sc_l = jax.tree.map(lambda a: a[lane], sc2_)
             s_l, acc = _sweep_body(
@@ -253,10 +253,13 @@ def _iterated_growing(
             )
             outs.append(s_l)
             accs.append(acc)
+        if lanes == 1:
+            outs.append(jax.tree.map(lambda a: a[1], s2))
+            accs.append(jnp.asarray(0, accs[0].dtype))
         s2n = jax.tree.map(lambda a, b: jnp.stack([a, b]), outs[0], outs[1])
         return s2n, jnp.stack(accs)
 
-    def drain_pair(st2, trust2, it, fs):
+    def drain_pair(st2, trust2, it, fs, lanes=2):
         trust2d = trust2[:, :n].reshape(2, h, w).astype(jnp.float32)
 
         def cond(carry):
@@ -265,7 +268,7 @@ def _iterated_growing(
 
         def body(carry):
             s, _, k = carry
-            s, acc = sweep_pair(s, sc2, trust2d, sal2, it, fs)
+            s, acc = sweep_pair(s, sc2, trust2d, sal2, it, fs, lanes)
             return (s, acc, k + 1)
 
         st2, _, k = jax.lax.while_loop(
@@ -309,11 +312,11 @@ def _iterated_growing(
 
     carry = (st2, trust_init, jnp.asarray(0, jnp.int32))
     st2, trust2, sweeps = jax.lax.fori_loop(0, iterations, one_iter, carry)
-    # final forward-only growing (local_faldoi.cpp:1636-1712); the bwd lane
-    # drains alongside in lockstep (discarded — max(lanes) sweeps either way).
+    # final FORWARD-ONLY growing (local_faldoi.cpp:1636-1712): only the fwd
+    # lane sweeps (lanes=1; the bwd lane's state is carried untouched).
     # The final drain always uses the late-phase floor scale (as chunked).
     st2, k = drain_pair(st2, trust2, jnp.asarray(iterations, jnp.int32),
-                        jnp.asarray(floor_scale_late, jnp.int32))
+                        jnp.asarray(floor_scale_late, jnp.int32), lanes=1)
     st_go = jax.tree.map(lambda a: a[0], st2)
     return st_go, sweeps + k
 
