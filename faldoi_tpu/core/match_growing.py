@@ -80,13 +80,26 @@ def _warm_requeue(state: GrowState, trust, n, h, w, band) -> GrowState:
     grid per lane."""
     lead = trust.shape[:-1]
     bad2d = (trust[..., :n] == 0).reshape(lead + (h, w))
+
+    def _shift(x, s, ax):
+        # non-wrapping shift (advisor r3 weak #7: jnp.roll wrapped the
+        # dilation across the image edge, re-queueing far-edge pixels
+        # whenever a hole sat near the opposite edge)
+        nax = x.ndim + ax
+        pw = [(0, 0)] * x.ndim
+        pw[nax] = (max(s, 0), max(-s, 0))
+        xp = jnp.pad(x, pw)
+        idx = [slice(None)] * x.ndim
+        size = x.shape[nax]
+        idx[nax] = slice(max(-s, 0), max(-s, 0) + size)
+        return xp[tuple(idx)]
+
     near = bad2d
     for ax in (-2, -1):
         acc = near
-        # separable box dilation by ``band`` (jnp.roll wraps across the
-        # image edge — that only re-queues a few extra far-edge pixels)
+        # separable box dilation by ``band``
         for s in range(1, band + 1):
-            acc = acc | jnp.roll(near, s, axis=ax) | jnp.roll(near, -s, axis=ax)
+            acc = acc | _shift(near, s, ax) | _shift(near, -s, ax)
         near = acc
     pad1 = jnp.zeros(lead + (1,), bool)
     near = jnp.concatenate([near.reshape(lead + (n,)), pad1], axis=-1)
