@@ -63,6 +63,8 @@ def main():
     import numpy as np
     import jax
 
+    _T_PROC0 = time.time()
+
     # the env var alone has been observed not to stick with the axon PJRT
     # plugin — force it through the config API (verified to write cache files)
     jax.config.update("jax_compilation_cache_dir",
@@ -185,7 +187,6 @@ def main():
     t0 = time.time()
     out = pipeline()
     warm = time.time() - t0
-    jax.config.update("jax_log_compiles", False)
     print(f"# warmup (incl. compile): {warm:.1f}s  "
           f"({_cc.n} XLA programs compiled)", file=sys.stderr)
 
@@ -194,14 +195,10 @@ def main():
         t0 = time.time()
         out = pipeline()
         times.append(time.time() - t0)
-    # tunnel-degradation insurance: day-to-day relay variance reaches 3-7x
-    # (PARITY.md footnote; a 202 s run with byte-identical outputs to a
-    # 27 s run was captured in r4) — if the warm runs look degraded, take
-    # one more sample before reporting the min
-    if min(times) > 60 and repeats > 1:
-        t0 = time.time()
-        out = pipeline()
-        times.append(time.time() - t0)
+    # stat policy (VERDICT r4 weak 6): a fixed number of repeats, min AND
+    # median both reported with vs_baseline for each — no conditional
+    # extra samples (the r4 "insurance" sample was one-sided and could
+    # only flatter the min)
     best = min(times)
     med = float(np.median(times))
 
@@ -233,6 +230,83 @@ def main():
     print(f"# EPE vs GT: {epe_gt:.4f} (device: {jax.devices()[0]})",
           file=sys.stderr)
 
+    # ------------------------------------------------------------------
+    # PAIRS THROUGHPUT PHASE (VERDICT r4 item 3): grow N frame pairs as
+    # 2N unrolled lanes per sweep program (core.match_growing_pairs) —
+    # amortises the fixed per-dispatch / per-sync tunnel latency N-fold,
+    # which is exactly the cost that separates the 16 s best from the
+    # 46 s median.  Reference envelope: pairs are processed serially at
+    # ~55-120 s each on the IPOL cluster (scripts_python/README.txt).
+    # ------------------------------------------------------------------
+    npairs = int(os.environ.get("FALDOI_BENCH_PAIRS", "4"))
+    pairs_budget = float(os.environ.get("FALDOI_BENCH_PAIRS_BUDGET_S",
+                                        "1500"))
+    t_proc = time.time() - _T_PROC0
+    per_pair = None
+    per_pair_times = []
+    pairs_var_epe = None
+    if npairs >= 2 and not maxdim and t_proc < pairs_budget:
+        from faldoi_tpu.core.match_growing import match_growing_pairs
+        from faldoi_tpu.core.sparse import sparse_flow
+
+        extra = [("clean", "medium"), ("clean", "hard"), ("final", "easy"),
+                 ("final", "medium"), ("final", "hard")]
+        seeds_pairs = [(go, ba)]
+        frames_pairs = [(a, b)]
+        hh, ww = a.shape
+        for pas, level in extra[:npairs - 1]:
+            eb = f"/root/reference/example_data/{pas}/{level}/"
+            j0 = read_image_split(eb + "frame_0002.png")
+            j1 = read_image_split(eb + "frame_0003.png")
+            aj, bj = prepare_pair(j0, j1)
+            tag = f"{pas}_{level}"
+            gj = sparse_flow(GOLD + f"pairs/{tag}_mt_1.txt", ww, hh)
+            bjm = sparse_flow(GOLD + f"pairs/{tag}_mt_2.txt", ww, hh)
+            seeds_pairs.append((gj, bjm))
+            frames_pairs.append((aj, bj))
+
+        def pairs_pipeline():
+            outs = match_growing_pairs(
+                seeds_pairs, frames_pairs, prm, bsz=bsz, delta=delta,
+                fill=fill, floor=floor, relax=relax, delta_rel=delta_rel,
+                floor_scale=floor_scale, verbose=verbose)
+            res = []
+            for (fl, _e, _o), (aj, bj) in zip(outs, frames_pairs):
+                u1, u2 = tvl2_global(
+                    aj, bj, jnp.asarray(fl[..., 0]), jnp.asarray(fl[..., 1]))
+                res.append(np.stack([np.asarray(u1), np.asarray(u2)],
+                                    axis=-1))
+            return res
+
+        t0 = time.time()
+        pres = pairs_pipeline()
+        pwarm = time.time() - t0
+        print(f"# pairs warmup ({npairs} pairs, incl. compile): "
+              f"{pwarm:.1f}s", file=sys.stderr)
+        p_reps = int(os.environ.get("FALDOI_BENCH_PAIRS_REPEATS", "2"))
+        for _ in range(p_reps):
+            if time.time() - _T_PROC0 > pairs_budget:
+                break
+            t0 = time.time()
+            pres = pairs_pipeline()
+            per_pair_times.append((time.time() - t0) / npairs)
+        if not per_pair_times:
+            per_pair_times = [pwarm / npairs]  # budget blown: warm run only
+        per_pair = min(per_pair_times)
+        if ref_var is not None:
+            pairs_var_epe = float(
+                np.hypot(pres[0][..., 0] - ref_var[..., 0],
+                         pres[0][..., 1] - ref_var[..., 1]).mean())
+            print(f"# pairs-mode pair0 EPE vs reference pipeline: "
+                  f"{pairs_var_epe:.4f}", file=sys.stderr)
+        print(f"# per-pair: {per_pair:.2f}s over {npairs} pairs "
+              f"(runs: {[round(t, 2) for t in per_pair_times]})",
+              file=sys.stderr)
+    elif npairs >= 2:
+        print(f"# pairs phase skipped (elapsed {t_proc:.0f}s > budget "
+              f"{pairs_budget:.0f}s or cropped run)", file=sys.stderr)
+    jax.config.update("jax_log_compiles", False)
+
     save = os.environ.get("FALDOI_BENCH_SAVE")
     if save:
         from faldoi_tpu.io import write_flo
@@ -240,18 +314,59 @@ def main():
         write_flo(save + "_var.flo", out)
         write_flo(save + "_rg.flo", np.asarray(last_rg["flow"]))
 
-    print(json.dumps({
+    # The reported metric is SECONDS PER FRAME PAIR (the reference
+    # processes pairs serially, so its baseline 72.9 s is already
+    # per-pair).  When the pairs phase ran, "value" is its min per-pair
+    # time; the single-pair numbers are always reported alongside
+    # (continuity with r1-r4 captures).  vs_baseline is quoted for BOTH
+    # the min and the median of the chosen stat (VERDICT r4 weak 6).
+    rec = {
         "metric": "local_global_seconds",
-        "value": round(best, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_16CORE_S / best, 2),
         "repeats": repeats,
-        "stat": "min",
-        "median": round(med, 3),
+        "single_pair_s": round(best, 3),
+        "single_pair_median": round(med, 3),
+        "vs_baseline_single_min": round(BASELINE_16CORE_S / best, 2),
+        "vs_baseline_single_median": round(BASELINE_16CORE_S / med, 2),
         "warmup_s": round(warm, 1),
         "programs_compiled": _cc.n,
-    }))
+    }
+    if per_pair is not None:
+        rec.update({
+            "value": round(per_pair, 3),
+            "stat": "min_per_pair",
+            "pairs": npairs,
+            "vs_baseline": round(BASELINE_16CORE_S / per_pair, 2),
+            "median": round(float(np.median(per_pair_times)), 3),
+            "pairs_warmup_s": round(pwarm, 1),
+        })
+        if pairs_var_epe is not None:
+            rec["pairs_var_epe"] = round(pairs_var_epe, 4)
+    else:
+        rec.update({
+            "value": round(best, 3),
+            "stat": "min",
+            "vs_baseline": round(BASELINE_16CORE_S / best, 2),
+            "median": round(med, 3),
+        })
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
     main()
+    # Clean exit protocol (VERDICT r4 item 2: BENCH rc must be 0).  Join
+    # the background threads (tunnel warmer, rung prewarmer) so they stop
+    # issuing PJRT RPCs, then exit EXPLICITLY: the axon PJRT plugin's C++
+    # teardown was observed to abort the process (rc 134, "FATAL:
+    # exception not rethrown") after the JSON had already been printed.
+    # All results are out and flushed at this point; skipping the plugin
+    # destructor loses nothing.
+    from faldoi_tpu.profiling import shutdown_background
+
+    leftover = shutdown_background(timeout_s=60.0)
+    if leftover:
+        print(f"# note: {len(leftover)} background thread(s) still wedged "
+              "in tunnel RPCs; forcing exit", file=sys.stderr)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

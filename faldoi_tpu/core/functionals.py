@@ -171,7 +171,7 @@ def _warp_rows() -> int:
     """Trace-time window-row count for the block-gather warp (the gather's
     cost is proportional to rows fetched per lane — trace: 5.3 ms/sweep at
     bsz=8192 with 32 rows).  Vertical coherence tolerance is rows - p - 3
-    (18 px at 32, 9 px at 24, 2 px at 16); samples beyond it clamp to the
+    (18 px at 32, 10 px at 24, 2 px at 16); samples beyond it clamp to the
     window edge exactly like the WARP_WIN horizontal budget.  Enters the
     sweep's jit key via local_step.ordering_dials."""
     return int(os.environ.get("FALDOI_WARP_ROWS", "24") or 24)

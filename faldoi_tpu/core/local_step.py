@@ -100,8 +100,30 @@ def ordering_dials():
     bit-identical outputs to the cached no-exactmin program)."""
     import os
 
+    exactmin = int(os.environ.get("FALDOI_GROW_EXACTMIN", "0") or 0)
+    # Working-flow scatter radius (5 = full 11x11 patch, the reference
+    # semantics; smaller radii cut the dominant scatter's update count
+    # (2r+1)^2/121-fold at an init-staleness cost)
+    wscatter_r = int(os.environ.get("FALDOI_WSCATTER_R", "3") or 3)
+    # candidate selection: exact lax.top_k sort vs the TPU-optimised
+    # approx_max_k (recall .95; the delta-band anchor then uses an exact
+    # global min so the band itself never drifts).  NOTE (advisor r4):
+    # this is an ORDERING PERTURBATION, not merely a delay — the
+    # unconditional rank-floor acceptance can admit higher-energy
+    # substitutes for the ~5% of true lowest-energy candidates the
+    # partial reduce misses (measured rg 0.2526 -> 0.2582 at the shipping
+    # dials); FALDOI_TOPK=exact restores the exact order.
+    topk = os.environ.get("FALDOI_TOPK", "approx")
+    if exactmin > 0:
+        # the window-min commutation proof (see _sweep_body) REQUIRES
+        # exact candidate selection and the full-patch working-flow
+        # scatter: pin both so FALDOI_GROW_EXACTMIN is self-consistent
+        # (r4 silently ran exactmin under approx top-k / wscatter r=3,
+        # which corrupted the commutation argument — VERDICT r4 item 5)
+        topk = "exact"
+        wscatter_r = 5
     return (
-        int(os.environ.get("FALDOI_GROW_EXACTMIN", "0") or 0),
+        exactmin,
         os.environ.get("FALDOI_GROW_EXACTMIN_BAND", "0"),
         float(os.environ.get("FALDOI_GROW_DEFER", "0") or 0),
         int(os.environ.get("FALDOI_GROW_DEFER_WIN", "0") or 0),
@@ -111,21 +133,24 @@ def ordering_dials():
         # parity-measured at full scale (EXPERIMENTS_r04.jsonl `dials`):
         # var EPE 0.0089 (vs 0.0088 reference-exact), rg 0.2582 (vs
         # 0.2526), GT EPE identical, local+global 27.8 s vs ~34 s.
-        # Working-flow scatter radius (5 = full 11x11 patch, the reference
-        # semantics; smaller radii cut the dominant scatter's update count
-        # (2r+1)^2/121-fold at an init-staleness cost)
-        int(os.environ.get("FALDOI_WSCATTER_R", "3") or 3),
-        # candidate selection: exact lax.top_k sort vs the TPU-optimised
-        # approx_max_k (recall .95; the delta-band anchor then uses an
-        # exact global min so the band itself never drifts; missed in-band
-        # candidates stay queued — a batching-like delay only)
-        os.environ.get("FALDOI_TOPK", "approx"),
+        wscatter_r,
+        topk,
         # MXU warp window rows (see functionals._warp3) — enters the key
-        # because the solver reads it at trace time.  24 keeps ~9 px of
+        # because the solver reads it at trace time.  24 keeps ~10 px of
         # vertical intra-patch coherence budget (32 = 18 px, 16 = 2 px);
         # match_growing._warn_overflow monitors the vertical budget too.
         int(os.environ.get("FALDOI_WARP_ROWS", "24") or 24),
     )
+
+
+def _lean_enabled() -> bool:
+    """FALDOI_GROW_LEAN=0 disables the first_iter crop specialisation so
+    iteration-0 and later drains share one program per rung — halves the
+    big-program compile load of a cold process (values identical: lean only
+    drops channels the it-0 sweep never reads)."""
+    import os
+
+    return os.environ.get("FALDOI_GROW_LEAN", "1") == "1"
 
 
 def _patch_geometry(idx, h, w, wr, ymin=0, ymax=None):
@@ -886,27 +911,41 @@ def grow_chunk(
     ),
 )
 def grow_chunk_pair(
-    st2: GrowState,              # stacked (2, ...) fwd/bwd states
-    solver, sc2,                 # stacked (2, ...) SolverConsts
-    trust2, sal2, iteration,     # stacked (2, n+1) trust / saliency
+    st2: GrowState,              # stacked (L, ...) lane states
+    solver, sc2,                 # stacked (L, ...) SolverConsts
+    trust2, sal2, iteration,     # stacked (L, n+1) trust / saliency
     h: int, w: int, wr: int, bsz: int,
     warps: int, max_iters: int, delta: float = float("inf"),
     chunk: int = 8, fill: str = "patch", floor=None, relax: bool = True,
     relax_margin: float = 0.95, delta_rel: float = 0.0,
     floor_scale: int = 0, block: int = 0, with_chi: bool = True,
     floor_scale_hi: int = 0, queue_hi: int = 1 << 30,
-    first_iter: bool = False, dials: tuple = None, lanes: int = 2,
+    first_iter: bool = False, dials: tuple = None, lanes: int = None,
 ):
-    """Bounded-chunk drain of BOTH growing directions in one program.
+    """Bounded-chunk drain of all L growing lanes in one program.
 
     The reference runs fwd/bwd growings as an OpenMP task pair
-    (local_faldoi.cpp:1191-1219); here the two directions' sweeps are one
-    vmapped device batch (2 x bsz patches per sweep) — half the dispatches
-    and double the batch occupancy of draining them back-to-back.  A drained
-    lane's sweeps are no-ops (empty top-k), so the lockstep loop runs until
-    both queues empty or ``chunk`` sweeps elapse.
+    (local_faldoi.cpp:1191-1219); here every lane's sweep runs in one
+    device program — one dispatch instead of L.  The classic case is L=2
+    (fwd, bwd) of one frame pair; the multi-pair throughput mode
+    (``match_growing_pairs``) stacks N pairs as L=2N lanes
+    [fwd0..fwdN-1, bwd0..bwdN-1], amortising the fixed per-dispatch /
+    per-sync tunnel latency over N pairs.
+
+    ``lanes`` = how many LEADING lanes sweep (None = all): the final
+    forward-only growing (local_faldoi.cpp:1636-1712) passes the number of
+    fwd lanes; the trailing bwd lanes are carried untouched.
+
+    Per-lane early-exit: each sweep is wrapped in ``lax.cond`` on the
+    lane's previous-sweep acceptance.  Acceptance is monotone within a
+    drain (lanes are independent: once a lane accepts nothing its
+    eligibility can never change until the host re-queues), so a drained
+    lane's remaining sweeps cost ~nothing — essential with mixed-difficulty
+    pairs whose sweep counts differ.
     """
     n = h * w
+    L = trust2.shape[0]
+    drain = L if lanes is None else lanes
     trust2d = jax.vmap(
         lambda t: t[:n].reshape(h, w).astype(jnp.float32)
     )(trust2)
@@ -922,26 +961,32 @@ def grow_chunk_pair(
             first_iter=first_iter, dials=dials,
         )
 
-    def sweep_pair(s2, sc2_, tr2, sal2_, it):
+    def sweep_pair(s2, sc2_, tr2, sal2_, it, prev_acc):
         # UNROLLED lanes, not vmap: the lane-vmapped sweep measures ~4x a
         # single-lane sweep (13.7 vs 3.4 ms at bsz=1024 —
         # EXPERIMENTS_r04.jsonl `pair_vmap`), i.e. the batched lowering
-        # de-optimises the gather/einsum paths; two sequential single-lane
-        # sweeps in the same program cost 2x and keep the one-dispatch
+        # de-optimises the gather/einsum paths; L sequential single-lane
+        # sweeps in the same program cost Lx and keep the one-dispatch
         # benefit.  Values identical (lanes are independent).
-        # ``lanes=1`` drains only the FWD lane (the final growing discards
-        # the bwd lane, local_faldoi.cpp:1636-1712 — half the cost).
         outs, accs = [], []
-        for lane in range(lanes):
+        for lane in range(L):
             s_l = jax.tree.map(lambda a: a[lane], s2)
-            sc_l = jax.tree.map(lambda a: a[lane], sc2_)
-            s_l, acc = sweep_one(s_l, sc_l, tr2[lane], sal2_[lane], it)
+            if lane < drain:
+                sc_l = jax.tree.map(lambda a: a[lane], sc2_)
+                tr_l = tr2[lane]
+                sal_l = sal2_[lane]
+                s_l, acc = jax.lax.cond(
+                    prev_acc[lane] > 0,
+                    lambda s, sc=sc_l, tr=tr_l, sl=sal_l:
+                        sweep_one(s, sc, tr, sl, it),
+                    lambda s: (s, jnp.asarray(0, jnp.int32)),
+                    s_l,
+                )
+            else:
+                acc = jnp.asarray(0, jnp.int32)
             outs.append(s_l)
             accs.append(acc)
-        if lanes == 1:
-            outs.append(jax.tree.map(lambda a: a[1], s2))
-            accs.append(jnp.asarray(0, accs[0].dtype))
-        s2n = jax.tree.map(lambda a, b: jnp.stack([a, b]), outs[0], outs[1])
+        s2n = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
         return s2n, jnp.stack(accs)
 
     def cond(carry):
@@ -949,11 +994,11 @@ def grow_chunk_pair(
         return jnp.logical_and(n_acc.sum() > 0, k < chunk)
 
     def body(carry):
-        s, _, mx, k = carry
-        s, acc = sweep_pair(s, sc2, trust2d, sal2, iteration)
+        s, acc, mx, k = carry
+        s, acc = sweep_pair(s, sc2, trust2d, sal2, iteration, acc)
         return (s, acc, jnp.maximum(mx, acc.max()), k + 1)
 
-    carry = (st2, jnp.ones((2,), jnp.int32), jnp.asarray(0, jnp.int32),
+    carry = (st2, jnp.ones((L,), jnp.int32), jnp.asarray(0, jnp.int32),
              jnp.asarray(0, jnp.int32))
     st2, n_acc, max_acc, _ = jax.lax.while_loop(cond, body, carry)
     # max_acc = the largest single-sweep acceptance in this chunk — the
@@ -1155,7 +1200,7 @@ class LocalSolver:
         step/chunked modes — the partial-results hook (the reference dumps
         growing snapshots at 30/70/80/95/100%, local_faldoi.cpp:944-1036).
         """
-        fi = isinstance(iteration, int) and iteration == 0
+        fi = _lean_enabled() and isinstance(iteration, int) and iteration == 0
         it = jnp.asarray(iteration, jnp.int32)
         self.last_sweeps = 0
         if snapshot_cb is not None and self.mode == "fused":
@@ -1219,7 +1264,7 @@ class LocalSolver:
         which is caught by max_acc == bsz and upshifted next chunk —
         truncation only makes the order stricter, never looser).
         """
-        fi = isinstance(iteration, int) and iteration == 0
+        fi = _lean_enabled() and isinstance(iteration, int) and iteration == 0
         it = jnp.asarray(iteration, jnp.int32)
         self.last_sweeps = 0
         pending = None
@@ -1296,7 +1341,7 @@ class LocalSolver:
                 relax=self.relax, relax_margin=self.relax_margin,
                 delta_rel=self.delta_rel, floor_scale=self.floor_scale,
                 block=self.block, first_iter=fi, dials=dials,
-                lanes=getattr(self, "lanes", 2), **self.kw
+                lanes=getattr(self, "lanes", None), **self.kw
             )
             if _ctimer:
                 n_acc.block_until_ready()
@@ -1366,11 +1411,15 @@ class LocalSolver:
                 relax=self.relax, relax_margin=self.relax_margin,
                 delta_rel=self.delta_rel, floor_scale=self.floor_scale,
                 block=self.block, first_iter=f_, dials=dials,
-                lanes=getattr(self, "lanes", 2), **self.kw
+                lanes=getattr(self, "lanes", None), **self.kw
             )
+
+        from faldoi_tpu.profiling import register_background, stop_requested
 
         def _run():
             for b, f_ in variants:
+                if stop_requested():
+                    return  # process is tearing down; don't race PJRT exit
                 key = self._sig_key(b, f_)
                 if key in done:
                     continue
@@ -1380,11 +1429,13 @@ class LocalSolver:
                     pass  # prewarm is best-effort; the drain compiles lazily
                 done.add(key)
 
-        threading.Thread(target=_run, daemon=True).start()
+        t = threading.Thread(target=_run, daemon=True, name="faldoi-prewarm")
+        register_background(t)
+        t.start()
 
     def _sig_key(self, b, f_):
         return (self.h, self.w, self.wr, b, f_, self.fill, self.chunk,
-                self.relax, self.block, getattr(self, "lanes", 2),
+                self.relax, self.block, getattr(self, "lanes", None),
                 ordering_dials())
 
     _prewarmed: set = set()

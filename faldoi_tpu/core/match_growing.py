@@ -149,6 +149,177 @@ def _prune_requeue_pair(st2, i0n, i1n, epsilon, *, n, h, w, warm_band):
     return st2, trust2, tg, tb
 
 
+@functools.partial(
+    jax.jit, static_argnames=("npairs", "n", "h", "w", "warm_band"))
+def _prune_requeue_pairs(st2, i0s, i1s, epsilon, *, npairs, n, h, w,
+                         warm_band):
+    """``_prune_requeue_pair`` generalised to N pairs stacked as 2N lanes
+    [fwd0..fwdN-1, bwd0..bwdN-1]: per-pair FB pruning (vmapped over the
+    pair axis), trust rebuild and requeue in one program."""
+    np_ = npairs
+    fwd = jnp.stack([st2.out_u[:np_, :n].reshape(np_, h, w),
+                     st2.out_v[:np_, :n].reshape(np_, h, w)], axis=-1)
+    bwd = jnp.stack([st2.out_u[np_:, :n].reshape(np_, h, w),
+                     st2.out_v[np_:, :n].reshape(np_, h, w)], axis=-1)
+    tg, tb = jax.vmap(
+        lambda a, b, f, g: prune(a, b, f, g, epsilon)
+    )(i0s, i1s, fwd, bwd)
+    trust2 = jnp.concatenate([
+        jnp.concatenate([tg.reshape(np_, n), tb.reshape(np_, n)], axis=0),
+        jnp.ones((2 * np_, 1), jnp.int32)], axis=1)
+    if warm_band:
+        st2 = _warm_requeue(st2, trust2, n, h, w, warm_band)
+    else:
+        st2 = _insert_potential(_delete_untrusted(st2, trust2, n), n)
+    return st2, trust2, tg, tb
+
+
+def match_growing_pairs(
+    seeds_pairs,        # list of (go, ba): (h, w, 2) NaN-sparse seed fields
+    frames_pairs,       # list of (i0n, i1n): normalized/smoothed frames
+    prm: P.Parameters,
+    bsz: int = 8192,
+    verbose: bool = False,
+    delta: float = 0.05,
+    fill: str = "patch",
+    floor: Optional[int] = None,
+    relax: bool = False,
+    delta_rel: float = 0.5,
+    floor_scale: int = 64,
+):
+    """Grow N frame pairs CONCURRENTLY as 2N unrolled lanes per sweep
+    program — the TPU throughput mode.
+
+    The chip is ~99.99% idle during a single-pair growing (PERF.md
+    roofline: the sweep is latency-bound on XLA's gather/scatter issue
+    rate, not FLOPs or HBM), and the dominant per-pair costs through the
+    tunneled TPU are per-dispatch launch (~80 ms) and host syncs
+    (~340 ms).  Stacking N independent pairs as 2N lanes in ONE sweep
+    program amortises every fixed cost N-fold; per-lane ``lax.cond``
+    gating (grow_chunk_pair) keeps mixed-difficulty batches from paying
+    the slowest pair's sweep count on every lane.  Lanes are independent,
+    so per-pair results are identical to N separate ``match_growing``
+    calls at the same dials (modulo the shared rung-adaptation schedule,
+    which only affects top-k truncation — parity-safe).
+
+    Returns a list of (flow (h,w,2), energy (h,w), occ (h,w)) per pair.
+    Reference envelope: the IPOL cluster processes pairs serially at
+    ~55-120 s/pair (scripts_python/README.txt:125-129).
+    """
+    from faldoi_tpu.profiling import warm_tunnel
+
+    warm_tunnel()
+    npairs = len(seeds_pairs)
+    assert npairs >= 1 and len(frames_pairs) == npairs
+    assert prm.val_method != P.M_TVL1_OCC, (
+        "pairs mode supports the 2-frame methods; run method 8 per-pair")
+    if floor is None and os.environ.get("FALDOI_GROW_FLOOR"):
+        floor = int(os.environ["FALDOI_GROW_FLOOR"])
+    if floor is None and not relax:
+        floor = 4096  # dense-phase rank floor (see match_growing)
+    if os.environ.get("FALDOI_GROW_DELTA"):
+        delta = float(os.environ["FALDOI_GROW_DELTA"])
+    if os.environ.get("FALDOI_GROW_DELTA_REL"):
+        delta_rel = float(os.environ["FALDOI_GROW_DELTA_REL"])
+    if os.environ.get("FALDOI_GROW_FLOOR_SCALE"):
+        floor_scale = int(os.environ["FALDOI_GROW_FLOOR_SCALE"])
+    if os.environ.get("FALDOI_GROW_BSZ"):
+        bsz = int(os.environ["FALDOI_GROW_BSZ"])
+    fill = os.environ.get("FALDOI_GROW_FILL", fill)
+    if fill == "patch" and prm.val_method not in (
+        P.M_TVCSAD, P.M_TVCSAD_W, P.M_NLTVCSAD, P.M_NLTVCSAD_W
+    ):
+        fill = "patch_rb"
+    elif fill == "patch_exact":
+        fill = "patch"
+
+    h, w = frames_pairs[0][0].shape
+    n = h * w
+    lam, theta, tau = method_local_params(prm.val_method, prm.w_radio)
+    p = 2 * prm.w_radio + 1
+    solver = SOLVERS[prm.val_method]
+
+    sc_go_l, sc_ba_l = [], []
+    for i0n, i1n in frames_pairs:
+        assert i0n.shape == (h, w), "pairs must share the frame geometry"
+        i0x, i0y = centered_gradient(i0n)
+        i1x, i1y = centered_gradient(i1n)
+        sc_go_l.append(make_solver_consts(
+            prm.val_method, pad_for_crops(i0n, p), i1n, i1x, i1y,
+            lam, theta, tau, prm.tol_OF, wr=prm.w_radio, p=p))
+        sc_ba_l.append(make_solver_consts(
+            prm.val_method, pad_for_crops(i1n, p), i0n, i0x, i0y,
+            lam, theta, tau, prm.tol_OF, wr=prm.w_radio, p=p))
+    # lane order [fwd0..fwdN-1, bwd0..bwdN-1]: the final forward-only
+    # growing drains the first npairs lanes
+    sc2 = jax.tree.map(lambda *xs: jnp.stack(xs), *(sc_go_l + sc_ba_l))
+
+    pd_cap = prm.max_iter_patch
+    ls = LocalSolver(
+        h, w, wr=prm.w_radio, bsz=bsz, solver=solver,
+        warps=prm.warps, max_iters=max(pd_cap, 1),
+        mode="chunked", delta=delta,
+        chunk=int(os.environ.get("FALDOI_GROW_CHUNK", "64")),
+        fill=fill, floor=floor, relax=relax, delta_rel=delta_rel,
+        floor_scale=floor_scale, with_chi=False,
+    )
+
+    sal = jnp.ones((n + 1,), jnp.float32)
+    states = []
+    for k in range(2):            # 0: fwd lanes, 1: bwd lanes
+        for pi in range(npairs):
+            go, ba = seeds_pairs[pi]
+            seeds = go if k == 0 else ba
+            sc = (sc_go_l if k == 0 else sc_ba_l)[pi]
+            states.append(ls.insert_seeds(init_state(h, w), seeds, sc, sal))
+    st2 = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    sal2 = jnp.broadcast_to(sal, (2 * npairs, n + 1))
+    trust2 = jnp.ones((2 * npairs, n + 1), jnp.int32)
+    i0s = jnp.stack([f[0] for f in frames_pairs])
+    i1s = jnp.stack([f[1] for f in frames_pairs])
+
+    fs_late = int(os.environ.get("FALDOI_GROW_FS_LATE", "0")) or min(
+        floor_scale, 16)
+    warm_band = int(os.environ.get("FALDOI_GROW_WARM_BAND", "10"))
+    relax_late = os.environ.get("FALDOI_GROW_RELAX_LATE", "0") == "1"
+
+    import time
+
+    t = time.time()
+    for it in range(prm.iterations_of):
+        ls.floor_scale = floor_scale if it == 0 else fs_late
+        ls.relax = relax or (relax_late and it >= 1)
+        st2 = ls.grow_pair(st2, sc2, trust2, sal2, it)
+        if verbose:
+            jax.block_until_ready(st2)
+            print(f"(pairs) growings it={it} (<= {ls.last_sweeps} sweeps): "
+                  f"{time.time() - t:.2f}s")
+            t = time.time()
+        st2, trust2, _tg, _tb = _prune_requeue_pairs(
+            st2, i0s, i1s, jnp.float32(prm.epsilon),
+            npairs=npairs, n=n, h=h, w=w, warm_band=warm_band,
+        )
+
+    ls.floor_scale = fs_late
+    ls.relax = relax or relax_late
+    ls.lanes = npairs          # final growing: forward lanes only
+    st2 = ls.grow_pair(st2, sc2, trust2, sal2, prm.iterations_of)
+    ls.lanes = None
+    jax.block_until_ready(st2)
+    if verbose:
+        print(f"(pairs) final growing: {time.time() - t:.2f}s")
+
+    outs = []
+    for pi in range(npairs):
+        st = jax.tree.map(lambda a: a[pi], st2)
+        flow = _flow2d(st, h, w)
+        ene = np.asarray(st.ene[:n]).reshape(h, w)
+        occ = np.asarray(st.out_chi[:n]).reshape(h, w)
+        _warn_overflow(flow, prm.w_radio, f"pair {pi} final flow")
+        outs.append((flow, ene, occ))
+    return outs
+
+
 def warp_window_overflow(flow: np.ndarray, wr: int, win: int,
                          vwin: int = None) -> int:
     """Count pixels whose 11x11-patch warp could overflow the shared MXU
@@ -679,7 +850,7 @@ def match_growing(
         ls.lanes = 1
         st2 = ls.grow_pair(st2, sc2, trust2, sal2, prm.iterations_of,
                            snapshot_cb=snapshot_cb)
-        ls.lanes = 2
+        ls.lanes = None
         if polish_k:
             st2 = _polish_pair(st2, sc2, sal2)
         st_go = jax.tree.map(lambda a: a[0], st2)

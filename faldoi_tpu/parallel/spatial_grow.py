@@ -54,6 +54,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
 from faldoi_tpu.core.local_step import GrowState, _sweep_body
 
+# Module-level cache of jitted shard_map drain programs, keyed on every
+# trace-affecting parameter (mesh, geometry, solver, dials, rung, ...).
+# Hoisted out of spatial_match_growing (advisor r4): a per-call cache
+# re-traced and re-jitted every (rung, fi, fs) variant on every call —
+# ~half of the r4 multichip-dryrun timeout.  jax.jit's own dispatch cache
+# is per-callable, so the callable itself must be reused across calls.
+_DRAIN_CACHE: dict = {}
+
 
 def _exchange_rows(x, d: int, axis_name: str, row_axis: int = 0):
     """Extend ``x`` by ``d`` rows from each row neighbour along
@@ -341,21 +349,28 @@ def spatial_match_growing(
     # * adaptive rung ladder over the PER-SHARD batch (the accept rule is
     #   rung-invariant: the rank floor is pinned to the nominal
     #   bsz_shard//16, so smaller rungs only truncate top-k harder);
-    # * programs are traced ONCE per (rung, first_iter) and cached by jit
-    #   across chunks, outer iterations AND spatial_match_growing calls
-    #   (the r3 twin re-traced the shard_map closure every outer iteration).
+    # * programs live in the MODULE-level _DRAIN_CACHE keyed on every
+    #   trace-affecting parameter, so they are traced once per variant and
+    #   reused across chunks, outer iterations AND spatial_match_growing
+    #   calls (a per-call cache re-traced everything each call — advisor r4).
     chunk = int(_os.environ.get("FALDOI_GROW_CHUNK", "16"))
     floor_pin = bsz_shard if relax else max(1, bsz_shard // 16)
     fs_late = int(_os.environ.get("FALDOI_GROW_FS_LATE", "0")) or min(
         floor_scale, 16)
     warm_band = int(_os.environ.get("FALDOI_GROW_WARM_BAND", "10"))
+    # FALDOI_GROW_LEAN=0 disables the first_iter crop specialisation so the
+    # it-0 and later drains share ONE program per (rung, fs) — halves the
+    # compile load (values identical; lean is a dead-channel optimisation)
+    lean = _os.environ.get("FALDOI_GROW_LEAN", "1") == "1"
     max_it = max(prm.max_iter_patch, 1)
 
-    _drain_cache = {}
+    key_base = (mesh, solver, hs, h, w, prm.w_radio, prm.warps, max_it,
+                halo, chunk, delta, fill, floor_pin, relax, delta_rel,
+                with_chi, dials)
 
     def drain_chunk(planes, sc2_, trust2d, sal2d, it, *, rung, fi, fs):
-        key = (rung, fi, fs)
-        if key not in _drain_cache:
+        key = key_base + (rung, fi, fs)
+        if key not in _DRAIN_CACHE:
             sharded = shard_map(
                 lambda pl_, sc_, tr_, sl_, it_: drain_spatial(
                     pl_, sc_, tr_, sl_, it_,
@@ -373,8 +388,8 @@ def spatial_match_growing(
                 out_specs=(plane_spec, PS(), PS()),
                 check_vma=False,
             )
-            _drain_cache[key] = jax.jit(sharded)
-        return _drain_cache[key](planes, sc2_, trust2d, sal2d, it)
+            _DRAIN_CACHE[key] = jax.jit(sharded)
+        return _DRAIN_CACHE[key](planes, sc2_, trust2d, sal2d, it)
 
     ladder = tuple(b for b in (256, 512, 1024, 2048, 4096) if b < bsz_shard)
     ladder = ladder + (bsz_shard,)
@@ -383,7 +398,7 @@ def spatial_match_growing(
         """Host loop: chunked dispatches with sync rung adaptation."""
         planes = to_planes(st2_)
         cur = ladder[min(1, len(ladder) - 1)]
-        fi = isinstance(it, int) and it == 0
+        fi = lean and isinstance(it, int) and it == 0
         it_j = jnp.asarray(it, jnp.int32)
         total = 0
         for _ in range(10_000):

@@ -61,6 +61,47 @@ def device_trace(logdir: Optional[str] = None):
 
 _tunnel_warmed = False
 
+# --- background-thread registry -------------------------------------------
+# Daemon threads issuing PJRT RPCs (the tunnel warmer, LocalSolver's rung
+# prewarmer) race the PJRT client's C++ destructor at interpreter exit and
+# were the r4 bench's rc-134 teardown abort ("FATAL: exception not
+# rethrown").  Every such thread registers here; ``shutdown_background``
+# flags them to stop and joins with a timeout before teardown begins.
+import threading as _threading
+
+_bg_threads: list = []
+_bg_lock = _threading.Lock()
+_stop_event = _threading.Event()
+
+
+def stop_requested() -> bool:
+    """Long-running background loops poll this between units of work."""
+    return _stop_event.is_set()
+
+
+def register_background(t: "_threading.Thread") -> None:
+    with _bg_lock:
+        _bg_threads.append(t)
+
+
+def shutdown_background(timeout_s: float = 60.0) -> list:
+    """Signal background threads to stop and join them.  Returns the
+    threads still alive after the timeout (e.g. one wedged mid-RPC on a
+    dead tunnel) — callers who must guarantee a clean exit code can then
+    fall back to ``os._exit`` after flushing output."""
+    import time as _t
+
+    _stop_event.set()
+    deadline = _t.time() + timeout_s
+    with _bg_lock:
+        threads = list(_bg_threads)
+    alive = []
+    for t in threads:
+        t.join(timeout=max(0.0, deadline - _t.time()))
+        if t.is_alive():
+            alive.append(t)
+    return alive
+
 
 def warm_tunnel(sync: bool = False) -> None:
     """Absorb the tunneled TPU backend's one-time first-transfer stall.
@@ -91,4 +132,6 @@ def warm_tunnel(sync: bool = False) -> None:
         return
     import threading
 
-    threading.Thread(target=_go, daemon=True).start()
+    t = threading.Thread(target=_go, daemon=True, name="faldoi-warm-tunnel")
+    register_background(t)
+    t.start()
