@@ -187,8 +187,9 @@ def main():
     t0 = time.time()
     out = pipeline()
     warm = time.time() - t0
+    programs_single = _cc.n  # snapshot BEFORE the pairs phase compiles
     print(f"# warmup (incl. compile): {warm:.1f}s  "
-          f"({_cc.n} XLA programs compiled)", file=sys.stderr)
+          f"({programs_single} XLA programs compiled)", file=sys.stderr)
 
     times = []
     for _ in range(repeats):
@@ -205,7 +206,7 @@ def main():
     epe_gt = float(
         np.hypot(out[..., 0] - gt[..., 0], out[..., 1] - gt[..., 1]).mean()
     )
-    ref_var = None
+    ref_var = ref_rg = None
     try:
         if maxdim:
             raise FileNotFoundError  # cropped run: golden not comparable
@@ -231,6 +232,54 @@ def main():
           file=sys.stderr)
 
     # ------------------------------------------------------------------
+    # PARITY-FRONTIER PHASE: the relax_late + cold-requeue config — the
+    # measured rg frontier (r5: 21.7 s min, rg 0.2080, var 0.0080 vs the
+    # default's 12.1 s / rg 0.2529 / var 0.0095 same-session).  Runs the
+    # same pipeline with FALDOI_GROW_RELAX_LATE=1 + cold requeues and
+    # reports its numbers alongside, so the "rg <= 0.22 at <= 25 s"
+    # config is part of the default bench without sacrificing the
+    # default's speed.  The relax gains REQUIRE cold requeues: with the
+    # warm band, survivors outside the hole bands stay fixed and the
+    # label-correcting re-arbitration never triggers (measured: rg
+    # identical to strict mode at warm_band=10).
+    # ------------------------------------------------------------------
+    parity_s = parity_rg = parity_var = None
+    parity_on = os.environ.get("FALDOI_BENCH_PARITY", "1") == "1"
+    parity_budget = float(os.environ.get("FALDOI_BENCH_PARITY_BUDGET_S",
+                                         "1200"))
+    if parity_on and not maxdim and ref_var is not None \
+            and ref_rg is not None \
+            and time.time() - _T_PROC0 < parity_budget:
+        _saved = {k: os.environ.get(k) for k in
+                  ("FALDOI_GROW_RELAX_LATE", "FALDOI_GROW_WARM_BAND")}
+        os.environ["FALDOI_GROW_RELAX_LATE"] = "1"
+        os.environ["FALDOI_GROW_WARM_BAND"] = "0"
+        try:
+            t0 = time.time()
+            pout = pipeline()
+            pwarm1 = time.time() - t0
+            t0 = time.time()
+            pout = pipeline()
+            parity_s = time.time() - t0
+            rgp = last_rg["flow"]
+            fin = np.isfinite(rgp[..., 0]) & np.isfinite(ref_rg[..., 0])
+            parity_rg = float(
+                np.hypot(rgp[..., 0] - ref_rg[..., 0],
+                         rgp[..., 1] - ref_rg[..., 1])[fin].mean())
+            parity_var = float(
+                np.hypot(pout[..., 0] - ref_var[..., 0],
+                         pout[..., 1] - ref_var[..., 1]).mean())
+            print(f"# parity config (relax_late+cold): {parity_s:.1f}s "
+                  f"(warm incl. compile {pwarm1:.1f}s)  rg {parity_rg:.4f}"
+                  f"  var {parity_var:.4f}", file=sys.stderr)
+        finally:
+            for k, v in _saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    # ------------------------------------------------------------------
     # PAIRS THROUGHPUT PHASE (VERDICT r4 item 3): grow N frame pairs as
     # 2N unrolled lanes per sweep program (core.match_growing_pairs) —
     # amortises the fixed per-dispatch / per-sync tunnel latency N-fold,
@@ -238,7 +287,20 @@ def main():
     # 46 s median.  Reference envelope: pairs are processed serially at
     # ~55-120 s each on the IPOL cluster (scripts_python/README.txt).
     # ------------------------------------------------------------------
-    npairs = int(os.environ.get("FALDOI_BENCH_PAIRS", "4"))
+    # Default 2 pairs: per-sweep cost is LINEAR in lanes (the unrolled
+    # lanes run sequentially in-program; EXPERIMENTS_r04 `lane_unroll`),
+    # so pairs-mode wins come from amortising per-dispatch/per-sync tunnel
+    # overhead — not from chip occupancy — while the L=2N sweep programs'
+    # compile+trace tax scales with N (measured ~20 min at N=4 through a
+    # flaky tunnel).  N=2 keeps the throughput evidence at half the tax.
+    npairs = int(os.environ.get("FALDOI_BENCH_PAIRS", "2"))
+    # pair sets: "easy" (default) = 4 DISTINCT easy-tier pairs — the same
+    # difficulty class as the baseline workload (clean/easy f2-3), so
+    # per-pair vs the 72.9 s/pair baseline stays apples-to-apples;
+    # "mixed" spans easy/medium/hard x clean/final (hard pairs genuinely
+    # cost 3-4x more sweeps and dominate the lockstep drain — measured
+    # 39 s/pair mixed vs the easy tier, EXPERIMENTS_r05).
+    pairs_set = os.environ.get("FALDOI_BENCH_PAIRS_SET", "easy")
     pairs_budget = float(os.environ.get("FALDOI_BENCH_PAIRS_BUDGET_S",
                                         "1500"))
     t_proc = time.time() - _T_PROC0
@@ -249,17 +311,25 @@ def main():
         from faldoi_tpu.core.match_growing import match_growing_pairs
         from faldoi_tpu.core.sparse import sparse_flow
 
-        extra = [("clean", "medium"), ("clean", "hard"), ("final", "easy"),
-                 ("final", "medium"), ("final", "hard")]
+        if pairs_set == "easy":
+            extra = [("clean/easy", "clean_easy_f12", 1, 2),
+                     ("clean/easy", "clean_easy_f34", 3, 4),
+                     ("final/easy", "final_easy", 2, 3),
+                     ("clean/medium", "clean_medium", 2, 3)]
+        else:
+            extra = [("clean/medium", "clean_medium", 2, 3),
+                     ("clean/hard", "clean_hard", 2, 3),
+                     ("final/easy", "final_easy", 2, 3),
+                     ("final/medium", "final_medium", 2, 3),
+                     ("final/hard", "final_hard", 2, 3)]
         seeds_pairs = [(go, ba)]
         frames_pairs = [(a, b)]
         hh, ww = a.shape
-        for pas, level in extra[:npairs - 1]:
-            eb = f"/root/reference/example_data/{pas}/{level}/"
-            j0 = read_image_split(eb + "frame_0002.png")
-            j1 = read_image_split(eb + "frame_0003.png")
+        for ds, tag, f0, f1 in extra[:npairs - 1]:
+            eb = f"/root/reference/example_data/{ds}/"
+            j0 = read_image_split(eb + f"frame_000{f0}.png")
+            j1 = read_image_split(eb + f"frame_000{f1}.png")
             aj, bj = prepare_pair(j0, j1)
-            tag = f"{pas}_{level}"
             gj = sparse_flow(GOLD + f"pairs/{tag}_mt_1.txt", ww, hh)
             bjm = sparse_flow(GOLD + f"pairs/{tag}_mt_2.txt", ww, hh)
             seeds_pairs.append((gj, bjm))
@@ -278,21 +348,33 @@ def main():
                                     axis=-1))
             return res
 
-        t0 = time.time()
-        pres = pairs_pipeline()
-        pwarm = time.time() - t0
-        print(f"# pairs warmup ({npairs} pairs, incl. compile): "
-              f"{pwarm:.1f}s", file=sys.stderr)
-        p_reps = int(os.environ.get("FALDOI_BENCH_PAIRS_REPEATS", "2"))
-        for _ in range(p_reps):
-            if time.time() - _T_PROC0 > pairs_budget:
-                break
+        # lean off for the pairs phase only: halves the L=2N rung-program
+        # compile count (the phase's dominant cost); the ~30% it-0 sweep
+        # cost it adds is noise next to the per-pair dispatch savings
+        _lean_saved = os.environ.get("FALDOI_GROW_LEAN")
+        os.environ["FALDOI_GROW_LEAN"] = "0"
+        try:
             t0 = time.time()
             pres = pairs_pipeline()
-            per_pair_times.append((time.time() - t0) / npairs)
-        if not per_pair_times:
-            per_pair_times = [pwarm / npairs]  # budget blown: warm run only
-        per_pair = min(per_pair_times)
+            pwarm = time.time() - t0
+            print(f"# pairs warmup ({npairs} pairs, incl. compile): "
+                  f"{pwarm:.1f}s", file=sys.stderr)
+            # at least ONE warm repeat always runs — a warmup-only number
+            # is compile-dominated and meaningless as throughput evidence;
+            # the budget only caps ADDITIONAL repeats
+            p_reps = int(os.environ.get("FALDOI_BENCH_PAIRS_REPEATS", "2"))
+            for k in range(p_reps):
+                if k > 0 and time.time() - _T_PROC0 > pairs_budget:
+                    break
+                t0 = time.time()
+                pres = pairs_pipeline()
+                per_pair_times.append((time.time() - t0) / npairs)
+            per_pair = min(per_pair_times)
+        finally:
+            if _lean_saved is None:
+                os.environ.pop("FALDOI_GROW_LEAN", None)
+            else:
+                os.environ["FALDOI_GROW_LEAN"] = _lean_saved
         if ref_var is not None:
             pairs_var_epe = float(
                 np.hypot(pres[0][..., 0] - ref_var[..., 0],
@@ -314,40 +396,41 @@ def main():
         write_flo(save + "_var.flo", out)
         write_flo(save + "_rg.flo", np.asarray(last_rg["flow"]))
 
-    # The reported metric is SECONDS PER FRAME PAIR (the reference
-    # processes pairs serially, so its baseline 72.9 s is already
-    # per-pair).  When the pairs phase ran, "value" is its min per-pair
-    # time; the single-pair numbers are always reported alongside
-    # (continuity with r1-r4 captures).  vs_baseline is quoted for BOTH
-    # the min and the median of the chosen stat (VERDICT r4 weak 6).
+    # "value" is the clean/easy single-pair min — the metric's defined
+    # workload since r1, so captures stay comparable across rounds.
+    # vs_baseline is quoted for BOTH the min and the median (VERDICT r4
+    # weak 6).  The pairs throughput phase reports seconds-per-pair
+    # separately (the reference processes pairs serially, so the 72.9 s
+    # baseline is already per-pair; per_pair_vs_baseline uses it).
     rec = {
         "metric": "local_global_seconds",
+        "value": round(best, 3),
         "unit": "s",
+        "vs_baseline": round(BASELINE_16CORE_S / best, 2),
         "repeats": repeats,
-        "single_pair_s": round(best, 3),
-        "single_pair_median": round(med, 3),
-        "vs_baseline_single_min": round(BASELINE_16CORE_S / best, 2),
-        "vs_baseline_single_median": round(BASELINE_16CORE_S / med, 2),
+        "stat": "min",
+        "median": round(med, 3),
+        "vs_baseline_median": round(BASELINE_16CORE_S / med, 2),
         "warmup_s": round(warm, 1),
-        "programs_compiled": _cc.n,
+        "programs_compiled": programs_single,
     }
     if per_pair is not None:
         rec.update({
-            "value": round(per_pair, 3),
-            "stat": "min_per_pair",
+            "per_pair_s": round(per_pair, 3),
+            "per_pair_median_s": round(float(np.median(per_pair_times)), 3),
+            "per_pair_vs_baseline": round(BASELINE_16CORE_S / per_pair, 2),
             "pairs": npairs,
-            "vs_baseline": round(BASELINE_16CORE_S / per_pair, 2),
-            "median": round(float(np.median(per_pair_times)), 3),
+            "pairs_set": pairs_set,
             "pairs_warmup_s": round(pwarm, 1),
+            "programs_total": _cc.n,
         })
         if pairs_var_epe is not None:
             rec["pairs_var_epe"] = round(pairs_var_epe, 4)
-    else:
+    if parity_s is not None:
         rec.update({
-            "value": round(best, 3),
-            "stat": "min",
-            "vs_baseline": round(BASELINE_16CORE_S / best, 2),
-            "median": round(med, 3),
+            "parity_config_s": round(parity_s, 3),
+            "parity_config_rg": round(parity_rg, 4),
+            "parity_config_var": round(parity_var, 4),
         })
     print(json.dumps(rec))
 

@@ -29,6 +29,16 @@ from faldoi_tpu.models import method_local_params
 from faldoi_tpu import params as P
 
 
+@jax.jit
+def _stack_trees(*trees):
+    """Stack N same-structure pytrees on a new leading axis as ONE jitted
+    program: the eager per-leaf ``jnp.stack`` calls this replaces compiled
+    ~20 single-op programs per pipeline (state 12 planes + solver consts),
+    each paying the tunneled TPU's ~0.5 s compile-RPC floor at process
+    warmup."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
 def _delete_untrusted(state: GrowState, trust, n) -> GrowState:
     """delete_not_trustable_candidates (:283-311): NaN flow, inf energy."""
     bad = trust == 0
@@ -252,7 +262,7 @@ def match_growing_pairs(
             lam, theta, tau, prm.tol_OF, wr=prm.w_radio, p=p))
     # lane order [fwd0..fwdN-1, bwd0..bwdN-1]: the final forward-only
     # growing drains the first npairs lanes
-    sc2 = jax.tree.map(lambda *xs: jnp.stack(xs), *(sc_go_l + sc_ba_l))
+    sc2 = _stack_trees(*(sc_go_l + sc_ba_l))
 
     pd_cap = prm.max_iter_patch
     ls = LocalSolver(
@@ -272,7 +282,7 @@ def match_growing_pairs(
             seeds = go if k == 0 else ba
             sc = (sc_go_l if k == 0 else sc_ba_l)[pi]
             states.append(ls.insert_seeds(init_state(h, w), seeds, sc, sal))
-    st2 = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    st2 = _stack_trees(*states)
     sal2 = jnp.broadcast_to(sal, (2 * npairs, n + 1))
     trust2 = jnp.ones((2 * npairs, n + 1), jnp.int32)
     i0s = jnp.stack([f[0] for f in frames_pairs])
@@ -804,8 +814,8 @@ def match_growing(
     if mode == "chunked":
         # P1 paired drain: both directions as one stacked device batch per
         # sweep (see LocalSolver.grow_pair); prune/requeue stay on device.
-        st2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), st_go, st_ba)
-        sc2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), sc_go, sc_ba)
+        st2 = _stack_trees(st_go, st_ba)
+        sc2 = _stack_trees(sc_go, sc_ba)
         sal2 = jnp.stack([sal_g, sal_b])
         trust2 = jnp.ones((2, n + 1), jnp.int32)
         for it in range(prm.iterations_of):
