@@ -29,6 +29,27 @@ from faldoi_tpu.models import method_local_params
 from faldoi_tpu import params as P
 
 
+@functools.partial(jax.jit, static_argnames=("val_method", "wr", "p"))
+def _consts_pair_jit(val_method, i0n, i1n, lam, theta, tau, tol, wr, p):
+    """Gradients + crop padding + SolverConsts for BOTH directions as one
+    program.  Run eagerly this chain compiles ~25 single-op programs
+    (centered-gradient pads/concats, block reshapes), each paying the
+    tunneled TPU's ~0.5 s compile-RPC floor at process warmup.  Only for
+    methods whose consts are pure jnp (TVL1/CSAD families); the NLTV
+    weights need host-side Lab conversion and method 8 appends occlusion
+    fields eagerly."""
+    i0x, i0y = centered_gradient(i0n)
+    i1x, i1y = centered_gradient(i1n)
+    sc_go = make_solver_consts(val_method, pad_for_crops(i0n, p), i1n,
+                               i1x, i1y, lam, theta, tau, tol, wr=wr, p=p)
+    sc_ba = make_solver_consts(val_method, pad_for_crops(i1n, p), i0n,
+                               i0x, i0y, lam, theta, tau, tol, wr=wr, p=p)
+    return sc_go, sc_ba
+
+
+_CONSTS_JIT_METHODS = (P.M_TVL1, P.M_TVL1_W, P.M_TVCSAD, P.M_TVCSAD_W)
+
+
 @jax.jit
 def _stack_trees(*trees):
     """Stack N same-structure pytrees on a new leading axis as ONE jitted
@@ -252,14 +273,21 @@ def match_growing_pairs(
     sc_go_l, sc_ba_l = [], []
     for i0n, i1n in frames_pairs:
         assert i0n.shape == (h, w), "pairs must share the frame geometry"
-        i0x, i0y = centered_gradient(i0n)
-        i1x, i1y = centered_gradient(i1n)
-        sc_go_l.append(make_solver_consts(
-            prm.val_method, pad_for_crops(i0n, p), i1n, i1x, i1y,
-            lam, theta, tau, prm.tol_OF, wr=prm.w_radio, p=p))
-        sc_ba_l.append(make_solver_consts(
-            prm.val_method, pad_for_crops(i1n, p), i0n, i0x, i0y,
-            lam, theta, tau, prm.tol_OF, wr=prm.w_radio, p=p))
+        if prm.val_method in _CONSTS_JIT_METHODS:
+            sc_go, sc_ba = _consts_pair_jit(
+                prm.val_method, i0n, i1n, lam, theta, tau, prm.tol_OF,
+                prm.w_radio, p)
+        else:
+            i0x, i0y = centered_gradient(i0n)
+            i1x, i1y = centered_gradient(i1n)
+            sc_go = make_solver_consts(
+                prm.val_method, pad_for_crops(i0n, p), i1n, i1x, i1y,
+                lam, theta, tau, prm.tol_OF, wr=prm.w_radio, p=p)
+            sc_ba = make_solver_consts(
+                prm.val_method, pad_for_crops(i1n, p), i0n, i0x, i0y,
+                lam, theta, tau, prm.tol_OF, wr=prm.w_radio, p=p)
+        sc_go_l.append(sc_go)
+        sc_ba_l.append(sc_ba)
     # lane order [fwd0..fwdN-1, bwd0..bwdN-1]: the final forward-only
     # growing drains the first npairs lanes
     sc2 = _stack_trees(*(sc_go_l + sc_ba_l))
@@ -377,14 +405,17 @@ def _warn_overflow(flow, wr, label):
     return n
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _flow_dev(state: GrowState, h, w):
+    n = h * w
+    return jnp.stack([state.out_u[:n].reshape(h, w),
+                      state.out_v[:n].reshape(h, w)], axis=-1)
+
+
 def _flow2d(state: GrowState, h, w):
-    return np.stack(
-        [
-            np.asarray(state.out_u[: h * w]).reshape(h, w),
-            np.asarray(state.out_v[: h * w]).reshape(h, w),
-        ],
-        axis=-1,
-    )
+    # one program + one fetch (the eager slice/reshape pair compiled two
+    # single-op programs and fetched twice)
+    return np.asarray(_flow_dev(state, h, w))
 
 
 @functools.partial(
@@ -609,20 +640,25 @@ def match_growing(
     lam, theta, tau = method_local_params(prm.val_method, prm.w_radio)
     p = 2 * prm.w_radio + 1
 
-    i0x, i0y = centered_gradient(i0n)
-    i1x, i1y = centered_gradient(i1n)
     solver = SOLVERS[prm.val_method]
     # fwd: source I0, warp I1; bwd: source I1, warp I0
-    sc_go = make_solver_consts(
-        prm.val_method, pad_for_crops(i0n, p), i1n, i1x, i1y,
-        lam, theta, tau, prm.tol_OF, wr=prm.w_radio,
-        i0_planes=i0_planes, p=p,
-    )
-    sc_ba = make_solver_consts(
-        prm.val_method, pad_for_crops(i1n, p), i0n, i0x, i0y,
-        lam, theta, tau, prm.tol_OF, wr=prm.w_radio,
-        i0_planes=i1_planes, p=p,
-    )
+    if prm.val_method in _CONSTS_JIT_METHODS:
+        sc_go, sc_ba = _consts_pair_jit(
+            prm.val_method, i0n, i1n, lam, theta, tau, prm.tol_OF,
+            prm.w_radio, p)
+    else:
+        i0x, i0y = centered_gradient(i0n)
+        i1x, i1y = centered_gradient(i1n)
+        sc_go = make_solver_consts(
+            prm.val_method, pad_for_crops(i0n, p), i1n, i1x, i1y,
+            lam, theta, tau, prm.tol_OF, wr=prm.w_radio,
+            i0_planes=i0_planes, p=p,
+        )
+        sc_ba = make_solver_consts(
+            prm.val_method, pad_for_crops(i1n, p), i0n, i0x, i0y,
+            lam, theta, tau, prm.tol_OF, wr=prm.w_radio,
+            i0_planes=i1_planes, p=p,
+        )
     if prm.val_method == P.M_TVL1_OCC:
         # 4-frame occlusion setup (energy_model.cpp:609-658): the fwd
         # direction warps I1 forward and I-1 backward; the bwd direction

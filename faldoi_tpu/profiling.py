@@ -79,9 +79,23 @@ def stop_requested() -> bool:
     return _stop_event.is_set()
 
 
+_atexit_registered = False
+
+
 def register_background(t: "_threading.Thread") -> None:
+    global _atexit_registered
     with _bg_lock:
         _bg_threads.append(t)
+        if not _atexit_registered:
+            # Join the background threads BEFORE the PJRT client's C++
+            # teardown (atexit is LIFO and jax registers its handlers at
+            # import, i.e. earlier — so ours runs first).  Without this,
+            # any plain script using the prewarm/warm-tunnel threads
+            # aborts at exit ("FATAL: exception not rethrown", rc 134).
+            import atexit
+
+            atexit.register(shutdown_background, 30.0)
+            _atexit_registered = True
 
 
 def shutdown_background(timeout_s: float = 60.0) -> list:
