@@ -124,6 +124,19 @@ def main():
     # smoke-test knob: crop the problem (the reported value is only
     # meaningful against the baseline at full size)
     maxdim = int(os.environ.get("FALDOI_BENCH_MAXDIM", "0"))
+    # CPU fallback guard: the full 436x1024 pipeline takes HOURS on this
+    # 1-core host — a wedged tunnel must degrade to a cropped smoke run
+    # (clearly marked; vs_baseline is not comparable) rather than hang
+    # the capture past its timeout with no JSON at all
+    cpu_fallback = jax.devices()[0].platform == "cpu"
+    if cpu_fallback and not maxdim:
+        maxdim = int(os.environ.get("FALDOI_BENCH_CPU_MAXDIM", "160"))
+        print(f"# CPU device: cropping to {maxdim}px smoke run "
+              "(full-size values are TPU-only); parity/pairs phases and "
+              "extra repeats skipped", file=sys.stderr)
+        repeats = 1
+        os.environ.setdefault("FALDOI_BENCH_PARITY", "0")
+        os.environ.setdefault("FALDOI_BENCH_PAIRS", "0")
     if maxdim:
         i0 = i0[:, :maxdim, :maxdim]
         i1 = i1[:, :maxdim, :maxdim]
@@ -407,6 +420,7 @@ def main():
         "value": round(best, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_16CORE_S / best, 2),
+        **({"device": "cpu_fallback", "maxdim": maxdim} if maxdim else {}),
         "repeats": repeats,
         "stat": "min",
         "median": round(med, 3),
